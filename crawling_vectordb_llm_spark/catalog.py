@@ -1,0 +1,74 @@
+"""Fixture catalog: the driver-generated parquet tables (TESTDATA.md).
+
+Mirrors the reference's database/collection namespacing (TencentVDB.py:10-11,
+21-61) as a Spark catalog of parquet-backed tables: `create_database` /
+`create_collection(shard=3)` become CREATE DATABASE / partitioned writes; here
+the read side registers each parquet file as a temp view so both the
+DataFrame API and spark.sql can reach them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads only as
+    a long (spark.sql.legacy.parquet.nanosAsLong).  Convert to a proper
+    timestamp at microsecond precision (`ts div 1000` — integer division;
+    a double round-trip would lose precision above 2^53 ns)."""
+    if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with type normalization applied."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Read every fixture table; optionally register as temp views.
+
+    Plain `spark.read.parquet` keeps Catalyst's pushdown/pruning: filters and
+    projections in downstream queries reach the parquet scan (PushedFilters /
+    ReadSchema in .explain).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = read_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,87 @@
+"""Text-analysis column expressions — pure Spark SQL, codegen-friendly.
+
+Generalizes the reference's text cleaning (Crawling.py:44-46: strip, truncate
+6000, collapse newlines) into the analysis ops a training-data pipeline needs:
+token counting, quality scoring, language-ID features, fingerprinting.  All
+deterministic and SQL-expressible so every op gets a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small language-agnostic stopword list used by quality/lang-id features
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for", "on", "with")
+
+CLEAN_TRUNCATE_CHARS = 6000  # Crawling.py:45
+
+
+def clean_text(c: Column | str) -> Column:
+    """P4+P5: truncate to 6000 chars, collapse whitespace runs."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.substring(c, 1, CLEAN_TRUNCATE_CHARS), r"\s+", " ")
+
+
+def tokens(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(c, " ")
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count (the LLM-budget estimator's cheap path)."""
+    return F.size(tokens(c))
+
+
+def word_char_tokens(c: Column | str) -> Column:
+    """BPE-ish segmentation: letter runs, digit runs, single punctuation —
+    a deterministic stand-in for a real tokenizer's pre-tokenization."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def stopword_count(c: Column | str) -> Column:
+    return F.size(F.filter(tokens(c), lambda t: t.isin(*STOPWORDS)))
+
+
+def stopword_ratio(c: Column | str) -> Column:
+    return F.round(stopword_count(c) / F.greatest(token_count(c), F.lit(1)), 6)
+
+
+def digit_ratio(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(
+        F.regexp_count(c, F.lit("[0-9]")) / F.greatest(F.length(c), F.lit(1)), 6
+    )
+
+
+def avg_word_len(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    non_space = F.length(F.regexp_replace(c, " ", ""))
+    return F.round(non_space / F.greatest(token_count(c), F.lit(1)), 6)
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite [0,1]-ish quality heuristic: long-enough, word-shaped,
+    stopword-bearing text scores high.  Weights are arbitrary but fixed —
+    the op is the point, and it is oracle-checked."""
+    c = F.col(c) if isinstance(c, str) else c
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.4 * stopword_ratio(c) + 0.2 * (1 - digit_ratio(c)), 6
+    )
+
+
+def fingerprint(c: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Order-sensitive rolling document fingerprint: polynomial hash over
+    per-token primitives (len, first char).  Deterministic, overflow-free
+    (values stay < mod * 31 + small), and expressible in both engines."""
+    h = F.aggregate(
+        tokens(c),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (
+            acc * 31 + F.length(t) * 17 + F.coalesce(F.ascii(t), F.lit(0))
+        )
+        % mod,
+    )
+    return h

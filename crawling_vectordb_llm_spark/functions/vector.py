@@ -1,0 +1,48 @@
+"""Vector column expressions — pure Spark SQL (JVM, whole-stage codegen).
+
+The reference delegates vector math to the VectorDB service: COSINE metric
+declared at index DDL (reference TencentVDB.py:46), searched via HNSW
+(main_server.py:41).  Here cosine/dot/norm are built from `zip_with` +
+`aggregate` so they run inside codegen — no Python in the hot path.  The
+numpy batch path (operators/knn.py) is used only where a matrix-multiply
+genuinely beats per-row expressions (many-query × many-doc top-k).
+
+All math is done in float64 regardless of the storage type (fixtures store
+float32) so results are reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential left-to-right sum — same order DuckDB uses, so the oracle
+    comparison is bit-stable before rounding."""
+    a, b = as_double_array(a), as_double_array(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """COSINE similarity (reference metric, TencentVDB.py:46)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Normalize at ingest so cosine degrades to a dot product downstream —
+    the batch analog of the reference's index-build-time normalization."""
+    a = as_double_array(a)
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)

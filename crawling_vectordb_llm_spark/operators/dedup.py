@@ -1,0 +1,220 @@
+"""Deduplication operators — the north-star LLM-pipeline ops.
+
+The reference dedups implicitly: upsert-by-id overwrites (TencentVDB.py:70
+`id=url` primary key), so re-crawled pages replace themselves.  A training-
+data pipeline needs the full ladder, each implemented Spark-first:
+
+  exact_dedup            md5(text) groupBy — one shuffle of (hash, id)
+  minhash_signatures     n-gram shingles → 32 xxhash64 permutations, all
+                         JVM-side (array exprs, no Python)
+  lsh_candidate_pairs    band the signature, shuffle on (band, band-hash),
+                         pairs within buckets — the candidate generator that
+                         makes near-dup O(candidates) instead of O(n²)
+  ngram_jaccard_pairs    exact verify: token-shingle Jaccard >= tau
+  simhash64              64-bit SimHash (Arrow/numpy batch), hamming-ball
+                         candidates at scale via bit-band buckets
+  embedding near-dup     threshold_similarity_join (operators/knn.py)
+
+At 100 TB: LSH candidates + exact verify is the only quadratic-free path;
+bucket shuffles hash-partition evenly (band-hash keys), hot buckets are
+capped by `max_bucket` to bound worst-case pair blowup (log what's dropped).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash: canonical id = min(id)."""
+    h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    return h.groupBy("content_hash").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """n-token shingles as strings (distinct), pure array exprs.
+
+    Guarded: texts with < n tokens yield an empty array (sequence(1, k<1)
+    would otherwise generate a DESCENDING range in Spark)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    return F.when(F.size(toks) >= n, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i).  Entirely JVM-side (codegen over arrays)."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("shingles", lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_perm)
+        ]
+    )
+    return sh.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Band the signature; docs sharing any band-hash become candidates.
+
+    Shuffle key is (band, hash(rows)) — uniformly distributed.  Buckets
+    larger than `max_bucket` (degenerate near-identical floods) are dropped
+    to bound the within-bucket pair blowup; a production run logs them."""
+    banded = signatures.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col("signature")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    bucket_ok = banded.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).where(F.col("__n") <= max_bucket)
+    banded = banded.join(bucket_ok.select("band", "band_hash"), ["band", "band_hash"])
+    a = banded.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("a_id"))
+    b = banded.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("b_id"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    left_shingles: F.Column, right_shingles: F.Column
+) -> F.Column:
+    """Exact Jaccard over distinct shingle sets (verify stage)."""
+    inter = F.size(F.array_intersect(left_shingles, right_shingles))
+    union = F.size(F.array_union(left_shingles, right_shingles))
+    return F.round(inter / F.greatest(union, F.lit(1)), 6)
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    tau: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH candidates → exact-Jaccard
+    verify.  The scale path: pair space is O(candidates), not O(n²)."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", ngram_jaccard(F.col("a_sh"), F.col("b_sh")).alias("jaccard"))
+        .where(F.col("jaccard") >= tau)
+    )
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc (Arrow batch path): token xxhash-equivalent
+    (stable md5-derived 64-bit), sum ±1 per bit, sign → bit.
+
+    numpy does the 64-lane popcount-style accumulation per batch; this is
+    the case where a vectorized Python kernel beats 64 separate JVM
+    expressions."""
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        bits = np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf[text_col].fillna("")):
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in t.split():
+                    h = np.uint64(
+                        int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+                    )
+                    hb = np.right_shift(h, bits) & np.uint64(1)
+                    acc += np.where(hb.astype(bool), 1, -1)
+                out[i] = int(((acc > 0).astype(np.uint64) << bits).sum().astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _batch, schema=f"{id_col} long, simhash long"
+    )
+
+
+def simhash_near_dup_candidates(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs within a hamming ball: band the 64 bits into 4
+    16-bit keys (pigeonhole: ≤3 differing bits → ≥1 identical band),
+    bucket-join on (band, key), verify exact hamming via bit_count."""
+    banded = sim.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.select("band", "key", F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sim"))
+    b = banded.select("band", "key", F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sim"))
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sim", "b_sim")
+        .distinct()
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.bit_count(F.expr("a_sim ^ b_sim")).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

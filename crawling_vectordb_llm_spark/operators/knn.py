@@ -1,0 +1,166 @@
+"""k-nearest-neighbor search operators (batch ANN build).
+
+The reference's core query op is `coll.searchByText(embeddingItems=[txt],
+limit=3, params=SearchParams(ef=100))` — server-side HNSW, COSINE, top-3
+(reference main_server.py:40-44; index DDL TencentVDB.py:46).  Spark has no
+online ANN index, so the engine provides batch equivalents:
+
+1. `knn_join_sql`    — exact, pure-SQL cosine (codegen path).  Broadcast the
+                       query set, score every (query, doc) pair JVM-side,
+                       rank with a window.  The right plan when the query
+                       set is small (it is: a broadcast hint keeps the big
+                       corpus side shuffle-free until the tiny ranked
+                       output).
+2. `knn_join_numpy`  — exact, Arrow/numpy matrix path.  Per corpus
+                       partition, one float64 GEMM scores the partition
+                       against all queries, and only each partition's local
+                       top-k survives — a map-side combine that shrinks the
+                       shuffle from |corpus|×|queries| rows to
+                       |partitions|×|queries|×k before the final window.
+                       This is the 100 TB plan: shuffle size is independent
+                       of corpus size.
+3. `threshold_similarity_join` — all pairs with cosine >= tau (the range-
+                       join flavor, SURVEY §2.5), used by near-dup dedup.
+4. `ivf` (operators/ivf.py) — the approximate scale path: k-means
+                       centroids, partition-by-centroid, probe nProbe cells.
+
+Scores are computed in float64 and tie-broken by (score DESC, id ASC) so
+output is deterministic (SURVEY §7 hard parts b/c).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.functions import vector as V
+from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+
+
+def knn_join_sql(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "doc_id",
+    corpus_vec: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact top-k cosine per query, entirely in Spark SQL expressions.
+
+    Plan shape: BroadcastNestedLoopJoin(queries) over the corpus scan →
+    codegen cosine → shuffle only on query_id for the rank window.  The
+    expensive cross product never shuffles; it streams corpus partitions
+    against the broadcast query table.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id), V.as_double_array(query_vec).alias("__qv")
+        )
+    )
+    c = corpus.select(F.col(corpus_id), V.as_double_array(corpus_vec).alias("__cv"))
+    scored = q.crossJoin(c).select(
+        query_id,
+        corpus_id,
+        V.cosine(F.col("__qv"), F.col("__cv")).alias(score_col),
+    )
+    return grouped_topk(
+        scored, [query_id], [F.desc(score_col), F.asc(corpus_id)], k
+    ).select(query_id, corpus_id, "rank", F.round(score_col, 6).alias(score_col))
+
+
+def knn_join_numpy(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "doc_id",
+    corpus_vec: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact top-k cosine via per-partition GEMM + local top-k.
+
+    The query matrix is collected (it is the small side by contract — the
+    reference issues one query text at a time; batches of ≤ ~100k queries ×
+    64-1024 dims fit comfortably) and closed over; Spark pickles it once per
+    task, and each Arrow batch is scored with one float64 matrix multiply.
+    Emitting only the per-batch top-k is the map-side combine that keeps the
+    final shuffle tiny at any corpus size.
+    """
+    spark = queries.sparkSession
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    bq = spark.sparkContext.broadcast((qids, qnorm))
+
+    out_schema = f"{query_id} long, {corpus_id} long, {score_col} double"
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qn = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30)
+            scores = qn @ cn.T  # (n_queries, batch)
+            top = min(k, scores.shape[1])
+            # local top-k per query within this batch
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            rows = {
+                query_id: np.repeat(ids, top),
+                corpus_id: pdf[corpus_id].to_numpy()[idx.ravel()],
+                score_col: np.take_along_axis(scores, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    candidates = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        score_partition, schema=out_schema
+    )
+    return grouped_topk(
+        candidates, [query_id], [F.desc(score_col), F.asc(corpus_id)], k
+    ).select(query_id, corpus_id, "rank", F.round(score_col, 6).alias(score_col))
+
+
+def threshold_similarity_join(
+    left: DataFrame,
+    right: DataFrame | None,
+    tau: float,
+    left_id: str = "vec_id",
+    left_vec: str = "embedding",
+    right_id: str | None = None,
+    right_vec: str | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """All pairs with cosine >= tau.  right=None → self-join (dedup shape):
+    emits each unordered pair once (a_id < b_id).
+
+    Exact quadratic scoring with the small side broadcast; at 100 TB this is
+    the verify stage AFTER a candidate generator (LSH bands / IVF cells)
+    prunes the pair space — see operators/dedup.py and operators/ivf.py.
+    """
+    self_join = right is None
+    right = left if right is None else right
+    right_id = right_id or left_id
+    right_vec = right_vec or left_vec
+    a = left.select(
+        F.col(left_id).alias("a_id"), V.l2_normalize(left_vec).alias("__av")
+    )
+    b = right.select(
+        F.col(right_id).alias("b_id"), V.l2_normalize(right_vec).alias("__bv")
+    )
+    pairs = F.broadcast(a).crossJoin(b)
+    if self_join:
+        pairs = pairs.where(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.withColumn(score_col, V.dot(F.col("__av"), F.col("__bv")))
+        .where(F.col(score_col) >= tau)
+        .select("a_id", "b_id", F.round(score_col, 6).alias(score_col))
+    )

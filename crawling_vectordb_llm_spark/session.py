@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-minded defaults.
+
+Local tests run on local[N] (single JVM), but every config here is chosen to
+also be the right default on a 1000-executor cluster reading 100 TB:
+adaptive execution (runtime re-plan, skew-join splitting, partition
+coalescing), Arrow for every Python<->JVM hop, and UTC timestamps so results
+are reproducible across engines (the DuckDB oracle is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "crawling_vectordb_llm_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the session.
+
+    cpus defaults to $SPARK_GRAFT_CPUS or all local cores.  Shuffle
+    partitions default to the core count — at cluster scale this would be
+    sized to total-cores * 2-3 and AQE coalesces down; locally the 200
+    default just adds scheduling overhead on kB-sized partitions.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # auto-broadcast stays on (10 MB); we additionally hint explicitly
+        # in operators where we KNOW the side is small (dims, query sets).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read as long and convert (catalog.read_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,105 @@
+"""Deduplication queries (north-star ops): exact, n-gram Jaccard,
+embedding-cosine near-dup (oracle-checked) + MinHash-LSH and SimHash
+(rows-only — engine-specific hashes; verified by property tests instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import table_path
+from crawling_vectordb_llm_spark.operators import dedup as D
+from crawling_vectordb_llm_spark.operators.knn import threshold_similarity_join
+from crawling_vectordb_llm_spark.suite.registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash — one shuffle of (hash, id)."""
+    return D.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+  WHERE doc_id < 60 AND len(string_split(text, ' ')) >= 3
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       ROUND(len(list_intersect(a.shingles, b.shingles))
+             / GREATEST(len(list_distinct(list_concat(a.shingles, b.shingles))), 1), 6)
+         AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard over same-lang pairs (bounded subset —
+    the exact-verify stage of the near-dup pipeline)."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 60)
+    sh = d.select(
+        "doc_id", "lang", D.word_shingles("text", 3).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    a = sh.select(
+        F.col("doc_id").alias("a_id"), F.col("lang"), F.col("shingles").alias("a_sh")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("shingles").alias("b_sh"),
+    )
+    return (
+        a.join(b, (a["lang"] == b["b_lang"]) & (a["a_id"] < b["b_id"]))
+        .select(
+            "a_id", "b_id", D.ngram_jaccard(F.col("a_sh"), F.col("b_sh")).alias("jaccard")
+        )
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (tau tuned to the fixture's
+    cosine range so the check is non-trivial — the op is the point)."""
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return threshold_similarity_join(emb, None, tau=0.35)
+
+
+@query("minhash_lsh_near_dup")
+def q_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MinHash(32 perms) → LSH(8 bands × 4 rows) candidates →
+    exact-Jaccard verify at tau=0.2.  Property tests check recall vs the
+    exact pairwise Jaccard on a sample."""
+    return D.minhash_near_dup_pairs(_docs(spark, sf_dir), tau=0.2)
+
+
+@query("simhash_near_dup")
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: SimHash64 + banded hamming-ball candidates (<= 3 bits)."""
+    sim = D.simhash64(_docs(spark, sf_dir))
+    return D.simhash_near_dup_candidates(sim, max_hamming=3)

@@ -1,0 +1,131 @@
+"""Pipeline-op queries: upsert-merge (S5), recursive tree flatten (F1),
+and the crawl-shaped ingest (S1-S4/P1-P7) with a deterministic fake fetcher.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import table_path
+from crawling_vectordb_llm_spark.operators.flatten import flatten_tree
+from crawling_vectordb_llm_spark.operators.merge import upsert_by_key
+from crawling_vectordb_llm_spark.sources import crawl
+from crawling_vectordb_llm_spark.suite.registry import query
+
+
+@query(
+    "upsert_merge",
+    oracle="""
+WITH updates AS (
+  SELECT doc_id, 'updated:' || CAST(doc_id AS VARCHAR) AS text, lang, source
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new:' || CAST(doc_id AS VARCHAR) AS text,
+         lang, source
+  FROM documents WHERE doc_id < 5
+)
+SELECT doc_id, substr(text, 1, 30) AS text_prefix, source FROM updates
+UNION ALL
+SELECT d.doc_id, substr(d.text, 1, 30) AS text_prefix, d.source
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id)
+""",
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: last-writer-wins merge-by-key — updates overwrite, inserts append
+    (the reference's upsert overwrite semantics, TencentVDB.py:70,74-79)."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    updates = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.lit("updated:"), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+        "source",
+    )
+    inserts = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new:"), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+        "source",
+    )
+    merged = upsert_by_key(
+        docs.select("doc_id", "text", "lang", "source"),
+        updates.unionByName(inserts),
+        key="doc_id",
+    )
+    return merged.select(
+        "doc_id", F.substring("text", 1, 30).alias("text_prefix"), "source"
+    )
+
+
+@query(
+    "flatten_tree",
+    oracle="""
+SELECT r_name AS title, CAST(0 AS INT) AS depth, NULL AS parent_title FROM region
+UNION ALL
+SELECT n.n_name AS title, CAST(1 AS INT) AS depth, r.r_name AS parent_title
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def q_flatten_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: build a 2-level nav tree (region → nations) as nested structs,
+    then flatten via the iterative-explode operator (Crawling.py:23-30)."""
+    nation = spark.read.parquet(table_path(sf_dir, "nation"))
+    region = spark.read.parquet(table_path(sf_dir, "region"))
+    tree = (
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("title"))
+        .agg(
+            F.collect_list(F.struct(F.col("n_name").alias("title"))).alias(
+                "children"
+            )
+        )
+    )
+    flat = flatten_tree(tree)
+    return flat.select("title", F.col("depth").cast("int").alias("depth"), "parent_title")
+
+
+@query(
+    "crawl_ingest",
+    oracle="""
+SELECT 'https://site.example/' || CAST(n_nationkey AS VARCHAR) AS id,
+       n_name AS title,
+       trim(regexp_replace(
+         'Page about ' || n_name || '   region ' || CAST(n_regionkey AS VARCHAR),
+         '\\s+', ' ', 'g')) AS text
+FROM nation
+""",
+)
+def q_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1→P7: the crawl pipeline against a deterministic fake fetcher —
+    the mapInPandas fetch stage, regex content extraction, clean, and the
+    Document(id,title,text) projection are all real."""
+    nation = spark.read.parquet(table_path(sf_dir, "nation"))
+    urls = nation.select(
+        F.concat(F.lit("https://site.example/"), F.col("n_nationkey").cast("string")
+        ).alias("link"),
+        F.col("n_name").alias("title"),
+        F.col("n_regionkey"),
+    )
+
+    def fake_fetch(url: str) -> str:
+        return ""  # replaced below; fetch uses row-local fields instead
+
+    # deterministic fake pages derived from the frontier row itself
+    def _fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["html"] = [
+                f'<html><div class="nav">x</div><div class="content">Page about '
+                f"<b>{t}</b>   region {rk}</div></html>"
+                for t, rk in zip(pdf["title"], pdf["n_regionkey"])
+            ]
+            yield pdf
+
+    pages = urls.mapInPandas(_fetch, schema=crawl.with_html_column(urls))
+    docs = crawl.clean_pages(crawl.extract_content(pages))
+    return docs.select(F.col("link").alias("id"), "title", "text")

@@ -1,0 +1,575 @@
+"""Relational analytics core (SURVEY §2.5) over the TPC-H-ish fixtures.
+
+Every query here is pure built-in DataFrame API — Catalyst handles pushdown,
+pruning, join selection; no Python in any hot path.  Determinism conventions
+(applied identically in the DuckDB oracle):
+
+- money/measure sums go through DECIMAL so they are order-independent and
+  bit-exact across engines: SUM(CAST(x AS DECIMAL(22,6)))::DOUBLE
+- averages = decimal-sum::double / count, rounded to 6 dp
+- timestamps are rendered as strings (date_format <-> strftime)
+- every ORDER-dependent op breaks ties with an explicit key column
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import read_table
+from crawling_vectordb_llm_spark.suite.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def dsum(c: Column | str, alias: str) -> Column:
+    """Order-independent exact sum: decimal accumulate, double out."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast("decimal(22,6)")).cast("double").alias(alias)
+
+
+def davg(c: Column | str, alias: str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(
+        F.sum(c.cast("decimal(22,6)")).cast("double") / F.count(F.lit(1)), 6
+    ).alias(alias)
+
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(22,6))) AS DOUBLE)"
+_DAVG = f"ROUND({_DSUM} / COUNT(*), 6)"
+
+
+# ---------------------------------------------------------------- filters/projections
+
+@query(
+    "filter_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1998-07-01'
+  AND l_discount >= 0.05 AND l_quantity < 25
+""",
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P9 analog: predicate + computed projection; filters and the
+    4-column ReadSchema reach the parquet scan (PushedFilters)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.where(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1998-07-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_quantity") < 25)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        # decimal round-trip, not ROUND(): the true product has <= 4 decimal
+        # digits, and decimal casting recovers it exactly in both engines
+        # (ROUND on double is half-up in Spark but not in DuckDB)
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------- aggregation
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_DSUM.format(x='l_quantity')} AS sum_qty,
+       {_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+       {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_DSUM.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_DAVG.format(x='l_quantity')} AS avg_qty,
+       {_DAVG.format(x='l_extendedprice')} AS avg_price,
+       {_DAVG.format(x='l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: hash agg with map-side partial aggregation — the
+    shuffle carries 4 groups, not 60k rows."""
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1999-12-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (HLL++ sketch values are engine-specific): approximate
+    distinct parts per returnflag.  Tests assert relative error vs exact."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       {_DSUM.format(x='l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "cube_agg",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {_DSUM.format(x='o_totalprice')} AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+@query(
+    "grouping_sets",
+    oracle=f"""
+SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, COUNT(*) AS n,
+       {_DSUM.format(x='value')} AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_bucket), (event_type, user_bucket))
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+FROM __gs_events
+GROUP BY GROUPING SETS ((event_type), (user_bucket), (event_type, user_bucket))
+"""
+    )
+
+
+@query(
+    "having_filter",
+    oracle=f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {_DSUM.format(x='o_totalprice')} AS spend
+FROM orders GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+""",
+)
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spend"))
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "percentile_stats",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       ROUND(MIN(o_totalprice), 6) AS min_price,
+       ROUND(MAX(o_totalprice), 6) AS max_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based — deterministic across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+SELECT p.p_brand, COUNT(*) AS n_items,
+       {_DSUM.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join: part is the small dim — no shuffle of lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@query(
+    "join_multiway",
+    oracle=f"""
+SELECT n.n_name AS nation, r.r_name AS region, COUNT(*) AS n_lines,
+       {_DSUM.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name, r.r_name
+""",
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: one shuffle join (lineitem↔orders) then broadcast
+    joins up the dim chain; Catalyst+AQE pick this given the hints."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@query(
+    "semi_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "anti_join",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 350000)
+""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no big order — the upsert key-precedence primitive (S5)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 350000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+@query(
+    "window_rank_topk",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders)
+WHERE rn <= 3
+""",
+)
+def q_window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k — J1's `limit=3` semantics relationally."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_spend
+FROM orders
+""",
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(22,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+         AS delta_prev,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS next_type
+FROM events
+""",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# ---------------------------------------------------------------- sort / limit / set ops
+
+@query(
+    "topk_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark executes as TakeOrderedAndProject — per-partition
+    heap + driver merge, no full sort, no shuffle of the table."""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "set_union",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+""",
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+""",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+        .subtract(
+            o.where(
+                (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)
+            ).select(F.col("o_custkey").alias("custkey"))
+        )
+    )
+
+
+# ---------------------------------------------------------------- scalar fn surface
+
+@query(
+    "case_when_buckets",
+    oracle=f"""
+SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+            WHEN o_totalprice < 250000 THEN 'mid'
+            ELSE 'high' END AS band,
+       o_orderstatus, COUNT(*) AS n, {_DSUM.format(x='o_totalprice')} AS total
+FROM orders GROUP BY band, o_orderstatus
+""",
+)
+def q_case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 250000, "mid")
+        .otherwise("high")
+        .alias("band")
+    )
+    return o.groupBy(band, F.col("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+@query(
+    "datetime_truncate",
+    oracle=f"""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+       COUNT(*) AS n, {_DSUM.format(x='o_totalprice')} AS total
+FROM orders GROUP BY order_month
+""",
+)
+def q_datetime_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "order_month"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+
+
+@query(
+    "json_extract",
+    oracle=f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       event_type, COUNT(*) AS n, {_DSUM.format(x='value')} AS total_value
+FROM events GROUP BY k_bucket, event_type
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 analog: JSON literal extraction from the events `props` column."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_bucket"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+
+
+@query(
+    "pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+    )

@@ -1,0 +1,79 @@
+"""Event-time window queries over `events` — batch variants (oracle-checked)
+plus the Structured Streaming tumbling agg (same oracle: streaming and batch
+must agree on final results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crawling_vectordb_llm_spark.catalog import read_table, table_path
+from crawling_vectordb_llm_spark.streaming import windows as W
+from crawling_vectordb_llm_spark.suite.registry import query
+
+_DSUM_V = "CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE)"
+
+_TUMBLING_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, {_DSUM_V} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+@query("tumbling_window", oracle=_TUMBLING_ORACLE)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_agg(_events(spark, sf_dir), "1 hour")
+
+
+@query(
+    "sliding_window",
+    oracle=f"""
+SELECT strftime(make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - off)
+                               * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, {_DSUM_V} AS total_value
+FROM events CROSS JOIN (SELECT unnest([0, 1800]) AS off)
+GROUP BY 1, 2
+""",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30min: each event lands in exactly 2 windows
+    (oracle materializes both bucket starts explicitly)."""
+    return W.sliding_agg(_events(spark, sf_dir), "1 hour", "30 minutes")
+
+
+@query(
+    "sessionize",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, {_DSUM_V} AS total_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (batch path)."""
+    return W.sessionize_batch(_events(spark, sf_dir), gap_seconds=1800)
+
+
+@query("streaming_tumbling_window", oracle=_TUMBLING_ORACLE)
+def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same tumbling agg executed as a Structured Streaming query
+    (file source → watermark → windowed agg → memory sink, availableNow);
+    final results must equal the batch/oracle answer."""
+    return W.run_streaming_tumbling(spark, table_path(sf_dir, "events"), "1 hour")

@@ -1,0 +1,136 @@
+"""Text-analysis queries over `documents` (P2-P10 generalized + north-star
+text ops: quality scoring, token counting, lang-id features, fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import table_path
+from crawling_vectordb_llm_spark.functions import text as X
+from crawling_vectordb_llm_spark.suite.registry import query
+
+_STOP_SQL = "('the','and','of','to','a','in','is','for','on','with')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+@query(
+    "text_clean_truncate",
+    oracle="""
+SELECT doc_id,
+       substr(regexp_replace(substr(text, 1, 6000), '\\s+', ' ', 'g'), 1, 80)
+         AS clean_prefix,
+       length(substr(text, 1, 6000)) AS clipped_len
+FROM documents
+""",
+)
+def q_text_clean_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5: the reference's clean stage (Crawling.py:45-46) as column ops."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.substring(X.clean_text("text"), 1, 80).alias("clean_prefix"),
+        F.length(F.substring("text", 1, 6000)).cast("bigint").alias("clipped_len"),
+    )
+
+
+@query(
+    "token_count",
+    oracle=r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_ish
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        X.token_count("text").cast("bigint").alias("n_tokens"),
+        X.word_char_tokens("text").cast("bigint").alias("n_bpe_ish"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       ROUND(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+             / GREATEST(len(string_split(text, ' ')), 1), 6) AS stop_ratio,
+       ROUND(len(regexp_extract_all(text, '[0-9]'))
+             / GREATEST(length(text), 1), 6) AS digit_ratio,
+       ROUND(0.4 * LEAST(length(text) / 500.0, 1.0)
+           + 0.4 * ROUND(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+                         / GREATEST(len(string_split(text, ' ')), 1), 6)
+           + 0.2 * (1 - ROUND(len(regexp_extract_all(text, '[0-9]'))
+                              / GREATEST(length(text), 1), 6)), 6) AS quality
+FROM documents
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        X.stopword_ratio("text").alias("stop_ratio"),
+        X.digit_ratio("text").alias("digit_ratio"),
+        X.quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "lang_id_features",
+    oracle=f"""
+SELECT lang,
+       ROUND(CAST(SUM(CAST(ROUND(len(list_filter(string_split(text, ' '),
+                                                 t -> t IN {_STOP_SQL}))
+                      / GREATEST(len(string_split(text, ' ')), 1), 6)
+                      AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*), 6) AS avg_stop_ratio,
+       ROUND(CAST(SUM(CAST(ROUND(length(replace(text, ' ', ''))
+                      / GREATEST(len(string_split(text, ' ')), 1), 6)
+                      AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*), 6) AS avg_word_len,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+""",
+)
+def q_lang_id_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID feature extraction: per-lang aggregate n-gram-heuristic
+    features (stopword ratio, word length) — the trained-classifier stand-in
+    keeps the op deterministic and oracle-checkable."""
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "lang",
+        X.stopword_ratio("text").cast("decimal(22,6)").alias("sr"),
+        X.avg_word_len("text").cast("decimal(22,6)").alias("wl"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.round(F.sum("sr").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_stop_ratio"
+        ),
+        F.round(F.sum("wl").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_word_len"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          t -> CAST(length(t) * 17 + COALESCE(ascii(t), 0) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint per document (dedup building block)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", X.fingerprint("text").alias("fp"))

@@ -1,0 +1,187 @@
+"""Vector subsystem queries: kNN search (J1/J2), threshold similarity join,
+normalize-at-ingest, label centroids, hash-embedding round trip.
+
+Oracles use DuckDB `list_cosine_similarity` on DOUBLE[] casts so both
+engines do float64 math over identical float32 inputs; scores are rounded
+to 6 dp on BOTH sides (FIXTURES.md determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import table_path
+from crawling_vectordb_llm_spark.embedding import make_embed_udf
+from crawling_vectordb_llm_spark.functions import vector as V
+from crawling_vectordb_llm_spark.operators.knn import (
+    knn_join_numpy,
+    knn_join_sql,
+    threshold_similarity_join,
+)
+from crawling_vectordb_llm_spark.plans.rag import search_pipeline
+from crawling_vectordb_llm_spark.suite.registry import query
+
+N_QUERIES = 5
+TOP_K = 3
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "embeddings"))
+
+
+_KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {nq}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS score
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("knn_topk", oracle=_KNN_ORACLE.format(nq=N_QUERIES, k=TOP_K))
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: top-3 cosine per query — the numpy/GEMM scale path."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join_numpy(queries, emb, k=TOP_K, corpus_id="vec_id")
+    return out.select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "score")
+
+
+@query("knn_topk_sql", oracle=_KNN_ORACLE.format(nq=20, k=10))
+def q_knn_topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 variant: pure-SQL cosine (whole-stage codegen), k=10, 20 queries."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join_sql(queries, emb, k=10, corpus_id="vec_id")
+    return out.select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "score")
+
+
+@query(
+    "similarity_threshold_join",
+    oracle="""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+)
+def q_similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join flavor of J1 (SURVEY §2.5): all pairs cosine >= tau."""
+    return threshold_similarity_join(_emb(spark, sf_dir), None, tau=0.4)
+
+
+@query(
+    "vector_normalize",
+    oracle="""
+SELECT vec_id,
+       ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 6) AS norm,
+       ROUND(embedding[1] / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[]))), 6) AS first_unit
+FROM embeddings
+""",
+)
+def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 ingest-side normalization: L2 norm + first normalized component."""
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        F.round(V.l2_norm("embedding"), 6).alias("norm"),
+        F.round(V.l2_normalize("embedding")[0], 6).alias("first_unit"),
+    )
+
+
+@query(
+    "centroid_per_label",
+    oracle="""
+SELECT e.label, d.dim,
+       ROUND(CAST(SUM(CAST(CAST(e.embedding[d.dim] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_val
+FROM embeddings e, generate_series(1, 64) AS d(dim)
+GROUP BY e.label, d.dim
+""",
+)
+def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (IVF build block): array avg via posexplode.
+
+    Decimal-cast sums make the result order-independent and bit-identical
+    to the oracle (SURVEY §7 hard part c)."""
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("col").cast("decimal(18,9)").alias("val"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(
+            F.sum("val").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_val")
+    )
+
+
+_RAG_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {nq}
+), ranked AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id ASC) AS rank
+  FROM q CROSS JOIN embeddings e
+), hits AS (
+  SELECT * FROM ranked WHERE rank <= {k}
+), agg AS (
+  SELECT h.query_id,
+         string_agg(substr(d.text, 1, 200), chr(10) ORDER BY h.rank) AS context,
+         string_agg(d.source || '     ' || CAST(d.doc_id AS VARCHAR),
+                    chr(10) || chr(10) ORDER BY h.rank) AS citations
+  FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+  GROUP BY h.query_id
+)
+SELECT query_id, context, citations,
+       substr('summarize according to "query", content: ' || context, 1, 20000) AS prompt
+FROM agg
+"""
+
+
+@query("rag_search_pipeline", oracle=_RAG_ORACLE.format(nq=N_QUERIES, k=TOP_K))
+def q_rag_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: embed-free searchByText → ordered concat → prompt → cite
+    (reference main_server.py:40-51, 142-143, 171-174)."""
+    return search_pipeline(spark, sf_dir, n_queries=N_QUERIES, k=TOP_K)
+
+
+@query("embed_knn_self")
+def q_embed_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: hash-embed document texts (S5/J1 embedding stage), then
+    kNN each of the first 5 docs against the embedded corpus.  Property
+    checked in tests: rank-1 neighbor of a doc is itself (score 1.0)."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    embed = make_embed_udf(dim=64)
+    emb = docs.select("doc_id", embed(F.col("text")).alias("vector"))
+    queries = emb.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("vector").alias("query_vec")
+    )
+    return knn_join_numpy(
+        queries, emb, k=3, corpus_id="doc_id", corpus_vec="vector"
+    )
