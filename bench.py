@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.  Each query is executed twice (plan
+compile + cache warm on the first pass) and the better time is reported —
+the steady-state number a resident cluster would see; the cold JVM startup
+is excluded for the same reason.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crawling_vectordb_llm_spark.session import get_spark
+from crawling_vectordb_llm_spark.suite import QUERIES
+
+# representative headline set: flagship RAG, both kNN paths, similarity
+# join, dedup ladder, relational core, windows, streaming-shaped aggs, text
+HEADLINE = [
+    "rag_search_pipeline",
+    "knn_topk",
+    "knn_topk_sql",
+    "similarity_threshold_join",
+    "embedding_near_dup",
+    "minhash_lsh_near_dup",
+    "dedup_exact",
+    "pricing_summary",
+    "join_multiway",
+    "join_broadcast",
+    "window_rank_topk",
+    "sessionize",
+    "tumbling_window",
+    "json_extract",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "upsert_merge",
+]
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    n = df.count()
+    took = time.time() - t0
+    assert n >= 0
+    return took
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t1 = run_query(fn, spark, sf_dir)
+        t2 = run_query(fn, spark, sf_dir)
+        results[name] = round(min(t1, t2), 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Dedup ladder properties: planted near-duplicates must be found by
+MinHash-LSH and SimHash; exact dedup groups exact copies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import read_table
+from crawling_vectordb_llm_spark.operators import dedup as D
+
+from .conftest import SF_SMALL
+
+
+def _docs_with_planted_dups(spark):
+    """Base docs + exact copies (+1000) and light mutations (+2000) of the
+    first 10 documents."""
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    first = docs.where(F.col("doc_id") < 10)
+    exact = first.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    mutated = first.select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz appended tail token")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(mutated)
+
+
+def test_exact_dedup_groups_copies(spark):
+    docs = _docs_with_planted_dups(spark)
+    groups = D.exact_dedup_groups(docs).where(F.col("n_dups") > 1).collect()
+    dup_canonicals = {r["canonical_id"] for r in groups}
+    assert set(range(10)) <= dup_canonicals
+    for r in groups:
+        assert r["n_dups"] == 2
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    docs = _docs_with_planted_dups(spark)
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in D.minhash_near_dup_pairs(docs, tau=0.5).collect()
+    }
+    # exact copies must always collide in every band
+    for i in range(10):
+        assert (i, i + 1000) in pairs, f"exact copy pair ({i},{i+1000}) missed"
+    # light mutations share almost all shingles: expect high recall (>=8/10)
+    found_mutated = sum(1 for i in range(10) if (i, i + 2000) in pairs)
+    assert found_mutated >= 8
+
+
+def test_minhash_verify_stage_is_exact(spark):
+    docs = _docs_with_planted_dups(spark)
+    rows = D.minhash_near_dup_pairs(docs, tau=0.5).collect()
+    for r in rows:
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_identical_texts_hamming_zero(spark):
+    docs = _docs_with_planted_dups(spark)
+    sim = D.simhash64(docs)
+    cands = D.simhash_near_dup_candidates(sim, max_hamming=3).collect()
+    ham = {(r["a_id"], r["b_id"]): r["hamming"] for r in cands}
+    for i in range(10):
+        assert ham.get((i, i + 1000)) == 0, f"exact copies ({i},{i+1000}) hamming != 0"

@@ -1,0 +1,74 @@
+"""kNN operator properties (SURVEY §5: self-consistency checks for the
+non-SQL paths) + numpy/SQL strategy agreement."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import read_table
+from crawling_vectordb_llm_spark.operators.knn import (
+    knn_join_numpy,
+    knn_join_sql,
+    threshold_similarity_join,
+)
+
+from .conftest import SF_SMALL
+
+
+def _queries(emb, n=5):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_self_is_rank_one(spark):
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    out = knn_join_numpy(_queries(emb), emb, k=3, corpus_id="vec_id").collect()
+    rank1 = {r["query_id"]: (r["vec_id"], r["score"]) for r in out if r["rank"] == 1}
+    for qid, (vid, score) in rank1.items():
+        assert vid == qid
+        assert abs(score - 1.0) < 1e-9
+
+
+def test_topk_subset_of_topk_plus_one(spark):
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    k3 = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join_numpy(_queries(emb), emb, k=3, corpus_id="vec_id").collect()
+    }
+    k4 = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join_numpy(_queries(emb), emb, k=4, corpus_id="vec_id").collect()
+    }
+    assert k3 <= k4
+
+
+def test_numpy_and_sql_strategies_agree(spark):
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    a = knn_join_numpy(_queries(emb), emb, k=5, corpus_id="vec_id").collect()
+    b = knn_join_sql(_queries(emb), emb, k=5, corpus_id="vec_id").collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    sa = {key(r): (r["vec_id"], r["score"]) for r in a}
+    sb = {key(r): (r["vec_id"], r["score"]) for r in b}
+    assert sa == sb
+
+
+def test_threshold_join_strategies_agree(spark):
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    a = {
+        (r["a_id"], r["b_id"], r["score"])
+        for r in threshold_similarity_join(emb, None, 0.4).collect()
+    }
+    b = {
+        (r["a_id"], r["b_id"], r["score"])
+        for r in threshold_similarity_join(emb, None, 0.4, strategy="sql").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_threshold_join_symmetric_bound(spark):
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    rows = threshold_similarity_join(emb, None, 0.4).collect()
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        assert r["score"] >= 0.4 - 1e-9

@@ -1,0 +1,56 @@
+"""Oracle-differential tests: every oracle-bearing query must match DuckDB
+exactly (row count, column names, values) at sf0.001 — the same comparison
+the driver runs at sf0.01 (tools/selfcheck.py runs that scale on demand).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from crawling_vectordb_llm_spark.suite import ORACLES, QUERIES
+
+from .conftest import SF_SMALL
+
+
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def canon(v):
+        try:
+            if v is None or (isinstance(v, float) and math.isnan(v)) or pd.isna(v):
+                return "<null>"
+        except (TypeError, ValueError):
+            pass
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    out = df.map(canon)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_SMALL).toPandas()
+    ddf = duck.sql(ORACLES[name]).df()
+    assert len(sdf) == len(ddf), f"rows: spark={len(sdf)} duckdb={len(ddf)}"
+    ns, nd = canonical(sdf), canonical(ddf)
+    assert list(ns.columns) == list(nd.columns)
+    if not ns.equals(nd):
+        neq = (ns != nd).any(axis=1)
+        bad = neq[neq].index[:3]
+        detail = "\n".join(
+            f"spark={ns.loc[i].to_dict()} duckdb={nd.loc[i].to_dict()}" for i in bad
+        )
+        pytest.fail(f"{int(neq.sum())}/{len(ns)} rows differ:\n{detail}")
+
+
+def test_rows_only_queries_nonempty(spark):
+    for name in set(QUERIES) - set(ORACLES):
+        df = QUERIES[name](spark, SF_SMALL)
+        assert df.count() > 0, f"{name} returned no rows"

@@ -1,0 +1,98 @@
+"""Merge/upsert, tree flatten, crawl pipeline, embedding stub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.embedding import hash_encode_batch, make_embed_udf
+from crawling_vectordb_llm_spark.operators.flatten import flatten_tree
+from crawling_vectordb_llm_spark.operators.merge import upsert_by_key
+from crawling_vectordb_llm_spark.sources import crawl
+
+
+def test_upsert_semantics(spark):
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    updates = spark.createDataFrame([(2, "B"), (4, "D")], "id long, v string")
+    merged = {r["id"]: r["v"] for r in upsert_by_key(existing, updates, "id").collect()}
+    assert merged == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_upsert_dedups_update_batch(spark):
+    existing = spark.createDataFrame([(1, "a")], "id long, v string")
+    updates = spark.createDataFrame([(1, "x"), (1, "y")], "id long, v string")
+    out = upsert_by_key(existing, updates, "id").collect()
+    assert len(out) == 1 and out[0]["id"] == 1 and out[0]["v"] in ("x", "y")
+
+
+def test_flatten_three_levels(spark):
+    tree = spark.createDataFrame(
+        [
+            (
+                "root",
+                [
+                    ("a", [("a1", []), ("a2", [])]),
+                    ("b", []),
+                ],
+            )
+        ],
+        "title string, children array<struct<title string, "
+        "children array<struct<title string, children array<struct<title string>>>>>>",
+    )
+    rows = flatten_tree(tree).collect()
+    got = {(r["title"], r["depth"], r["parent_title"]) for r in rows}
+    assert got == {
+        ("root", 0, None),
+        ("a", 1, "root"),
+        ("b", 1, "root"),
+        ("a1", 2, "a"),
+        ("a2", 2, "a"),
+    }
+
+
+def test_crawl_pipeline_with_fake_fetcher(spark):
+    urls = spark.createDataFrame(
+        [("http://x/1", "t1"), ("http://x/2", "t2")], "link string, title string"
+    )
+    fetcher = lambda u: (  # noqa: E731
+        f'<html><div class="content">Hello <b>world</b> from {u}</div></html>'
+    )
+    docs = crawl.crawl_ingest(urls, fetcher).collect()
+    assert {r["id"] for r in docs} == {"http://x/1", "http://x/2"}
+    for r in docs:
+        assert r["text"].startswith("Hello world from http://x/")
+        assert "<" not in r["text"]
+
+
+def test_crawl_drops_pages_without_content(spark):
+    urls = spark.createDataFrame([("http://x/1", "t1")], "link string, title string")
+    docs = crawl.crawl_ingest(urls, lambda u: "<html><p>no div</p></html>").collect()
+    assert docs == []
+
+
+def test_hash_embedding_deterministic_and_normalized():
+    a = hash_encode_batch(["hello world", "spark engine"], 64)
+    b = hash_encode_batch(["hello world", "spark engine"], 64)
+    assert (a == b).all()
+    import numpy as np
+
+    norms = np.linalg.norm(a, axis=1)
+    assert np.allclose(norms, 1.0)
+
+
+def test_embed_udf_shape(spark):
+    df = spark.createDataFrame([("hello world",), ("x y z",)], "text string")
+    out = df.select(make_embed_udf(32)(F.col("text")).alias("v")).collect()
+    assert all(len(r["v"]) == 32 for r in out)
+
+
+def test_default_fetcher_gated():
+    try:
+        import requests  # noqa: F401
+
+        pytest.skip("requests installed in this image")
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            crawl.default_fetcher()
