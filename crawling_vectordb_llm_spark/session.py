@@ -49,4 +49,8 @@ def get_spark(
         # reader rejects; read as long and convert (catalog.read_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    from crawling_vectordb_llm_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    return spark

@@ -1,0 +1,378 @@
+"""Extended operator surface: as-of/range joins, outer joins, analytic
+windows (ntile/percent_rank/first/last), unpivot, correlated subqueries,
+array/map functions, multimodal metadata decode, IVF ANN search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import read_table
+from crawling_vectordb_llm_spark.operators.asof import asof_join
+from crawling_vectordb_llm_spark.operators.ivf import ivf_topk
+from crawling_vectordb_llm_spark.sources import multimodal as MM
+from crawling_vectordb_llm_spark.suite.registry import query
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(22,6))) AS DOUBLE)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- joins
+
+@query(
+    "asof_join",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       ROUND(epoch(p.ts) - epoch(s.ts), 6) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior signup.
+    union-window strategy — one shuffle on user_id, no per-group Python."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    signups = e.where(F.col("event_type") == "signup")
+    joined = asof_join(
+        purchases, signups, ts="ts", by="user_id", right_value="ts",
+        value_alias="signup_ts_raw",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("signup_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.round(
+            F.col("ts").cast("double") - F.col("signup_ts_raw").cast("double"), 6
+        ).alias("gap_s"),
+    )
+
+
+@query(
+    "range_join_bands",
+    oracle=f"""
+WITH bands(band, lo, hi) AS (
+  VALUES ('xs', 0, 50000), ('s', 50000, 150000), ('m', 150000, 300000),
+         ('l', 300000, 450000), ('xl', 450000, 100000000)
+)
+SELECT b.band, COUNT(*) AS n, {_DSUM.format(x='o.o_totalprice')} AS total
+FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""",
+)
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a broadcast band dimension — Spark plans
+    a BroadcastNestedLoopJoin; the dim is 5 rows so the 'loop' is free."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("xs", 0, 50_000),
+            ("s", 50_000, 150_000),
+            ("m", 150_000, 300_000),
+            ("l", 300_000, 450_000),
+            ("xl", 450_000, 100_000_000),
+        ],
+        "band string, lo long, hi long",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o["o_totalprice"] >= bands["lo"]) & (o["o_totalprice"] < bands["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle=f"""
+SELECT n.n_name, COUNT(c.c_custkey) AS n_cust,
+       COALESCE({_DSUM.format(x='c.c_acctbal')}, 0.0) AS total_bal
+FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, c["c_nationkey"] == n["n_nationkey"], "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_cust"),
+            F.coalesce(
+                F.sum(F.col("c_acctbal").cast("decimal(22,6)")).cast("double"),
+                F.lit(0.0),
+            ).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+       COALESCE(cn.n_cust, 0) AS n_cust, COALESCE(sn.n_supp, 0) AS n_supp
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+""",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c["nk"] == s["nk_s"], "full_outer").select(
+        F.coalesce("nk", "nk_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+@query(
+    "window_ntile_percentrank",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_window_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )
+
+
+# ---------------------------------------------------------------- reshaping
+
+@query(
+    "unpivot_stack",
+    oracle="""
+SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+FROM customer
+""",
+)
+def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack() — the wide→long reshape."""
+    c = _t(spark, sf_dir, "customer")
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) "
+        "AS (metric, val)",
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 1.5 * (
+  SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+""",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst de-correlates it to a join)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__sq_orders")
+    return spark.sql(
+        """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM __sq_orders o
+WHERE o.o_totalprice > 1.5 * (
+  SELECT AVG(o2.o_totalprice) FROM __sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+    )
+
+
+# ---------------------------------------------------------------- array/map fns
+
+@query(
+    "array_agg_funcs",
+    oracle="""
+SELECT c_mktsegment,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+       len(list(DISTINCT c_nationkey)) AS n_nations
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q_array_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_set("c_nationkey")), ",").alias(
+            "nations"
+        ),
+        F.size(F.collect_set("c_nationkey")).cast("bigint").alias("n_nations"),
+    )
+
+
+@query(
+    "posexplode_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS pos,
+       unnest(toks) AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 10)
+""",
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
+@query(
+    "map_funcs",
+    oracle="""
+SELECT user_id,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS n_purchases,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a MAP<event_type, count> per user and read it back — exercises
+    map_from_entries / element_at / map_keys (S3 props analog)."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchases"),
+        F.size(F.map_keys("m")).cast("bigint").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------- multimodal / ANN
+
+@query(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id, 'FKM1' AS magic,
+       CAST(16 + doc_id % 48 AS INT) AS width,
+       CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+       CAST(doc_id % 3 AS INT) AS kind_id,
+       CAST((16 + doc_id % 48) * (16 + (doc_id * 7) % 32) AS BIGINT)
+         AS payload_bytes,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column round trip: synthesize media blobs (mapInPandas), then
+    decode header metadata with pure column ops.  The oracle recomputes the
+    expected metadata from the generator formulas — the parse must invert
+    the synth exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synth_media(docs)
+    meta = MM.decode_media_meta(media)
+    return meta.select(
+        "doc_id",
+        "magic",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("kind_id").cast("int").alias("kind_id"),
+        F.col("payload_bytes").cast("bigint").alias("payload_bytes"),
+        "kind",
+    )
+
+
+@query("multimodal_features_knn")
+def q_multimodal_features_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: media → byte-histogram features → kNN over the feature
+    space (the decode→embed→search pipeline with the decoder stubbed)."""
+    from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    feats = MM.extract_features(MM.synth_media(docs))
+    queries = feats.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("features").alias("query_vec")
+    )
+    return knn_join_numpy(
+        queries, feats, k=3, corpus_id="doc_id", corpus_vec="features"
+    )
+
+
+@query("frame_sample")
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: video-shaped frame sampling (every 4th 64-byte frame)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    frames = MM.sample_frames(MM.synth_media(docs))
+    return frames.select("doc_id", "frame_idx", F.length("frame").alias("frame_len"))
+
+
+@query("ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (k-means is seeded but float-order-sensitive): IVF
+    approximate top-10 — recall vs exact kNN asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(queries, emb, k=10, n_centroids=16, n_probe=4)

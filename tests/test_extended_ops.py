@@ -1,0 +1,123 @@
+"""IVF recall, as-of strategy agreement, multimodal round trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import read_table
+from crawling_vectordb_llm_spark.operators.asof import asof_join
+from crawling_vectordb_llm_spark.operators.ivf import (
+    assign_centroids,
+    ivf_search,
+    kmeans_centroids,
+)
+from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy
+from crawling_vectordb_llm_spark.sources import multimodal as MM
+
+from .conftest import SF_SMALL
+
+
+def _queries(emb, n=10):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    q = _queries(emb)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join_numpy(q, emb, k=10, corpus_id="vec_id").collect()
+    }
+    centroids = kmeans_centroids(emb, 16)
+    assigned = assign_centroids(emb, centroids)
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_search(q, assigned, centroids, k=10, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall@10 nprobe=4/16 too low: {recall}"
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    q = _queries(emb, 5)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join_numpy(q, emb, k=5, corpus_id="vec_id").collect()
+    }
+    centroids = kmeans_centroids(emb, 8)
+    assigned = assign_centroids(emb, centroids)
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_search(q, assigned, centroids, k=5, n_probe=8).collect()
+    }
+    assert full == exact
+
+
+def test_asof_strategies_agree(spark):
+    e = read_table(spark, SF_SMALL, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    signups = e.where(F.col("event_type") == "signup")
+    a = {
+        (r["event_id"], str(r["asof_value"]))
+        for r in asof_join(purchases, signups).collect()
+    }
+    b = {
+        (r["event_id"], str(r["asof_value"]))
+        for r in asof_join(purchases, signups, strategy="pandas").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_asof_value_is_latest_prior(spark):
+    df = spark.createDataFrame(
+        [(1, 100, 10.0), (2, 100, 20.0), (3, 100, 35.0)],
+        "event_id long, user_id long, t double",
+    ).selectExpr("event_id", "user_id", "timestamp_seconds(t) AS ts")
+    right = spark.createDataFrame(
+        [(100, 5.0), (100, 15.0), (100, 40.0)], "user_id long, t double"
+    ).selectExpr("user_id", "timestamp_seconds(t) AS ts")
+    out = {
+        r["event_id"]: r["asof_value"].timestamp()
+        for r in asof_join(df, right).collect()
+    }
+    assert out == {1: 5.0, 2: 15.0, 3: 15.0}
+
+
+def test_multimodal_meta_inverts_synth(spark):
+    docs = read_table(spark, SF_SMALL, "documents").where(F.col("doc_id") < 30)
+    meta = MM.decode_media_meta(MM.synth_media(docs)).collect()
+    for r in meta:
+        i = r["doc_id"]
+        assert r["magic"] == "FKM1"
+        assert r["width"] == 16 + i % 48
+        assert r["height"] == 16 + (i * 7) % 32
+        assert r["payload_bytes"] == r["width"] * r["height"]
+        assert r["kind"] in ("image", "audio", "video")
+
+
+def test_multimodal_features_unit_norm(spark):
+    import numpy as np
+
+    docs = read_table(spark, SF_SMALL, "documents").where(F.col("doc_id") < 10)
+    feats = MM.extract_features(MM.synth_media(docs)).collect()
+    for r in feats:
+        assert len(r["features"]) == 16
+        assert abs(np.linalg.norm(r["features"]) - 1.0) < 1e-5
+
+
+def test_frame_sampling_every_nth(spark):
+    docs = read_table(spark, SF_SMALL, "documents").where(F.col("doc_id") == 5)
+    frames = MM.sample_frames(MM.synth_media(docs), every_n=4, frame_bytes=64).collect()
+    idxs = sorted(r["frame_idx"] for r in frames)
+    assert idxs == list(range(0, (21 * 19 // 64), 4))  # w=21,h=19 for doc 5
+    assert all(len(r["frame"]) == 64 for r in frames)
+
+
+def test_real_decode_stub_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        MM.real_decode_stub(b"FKM1xxxx")
