@@ -42,6 +42,10 @@ HEADLINE = [
     "token_count",
     "doc_fingerprint",
     "upsert_merge",
+    "rag_generate",
+    "asof_join",
+    "ann_ivf_topk",
+    "multimodal_meta",
 ]
 
 

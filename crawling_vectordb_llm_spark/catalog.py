@@ -35,6 +35,52 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# --------------------------------------------------------------------- S6 DDL
+# The reference's database/collection lifecycle (TencentVDB.py:21-61,87-98):
+# create_database / list_databases / create_collection(shard=3, replicas=0) /
+# drop_collection / drop_database.  Spark-native: catalog databases + bucketed
+# parquet tables (bucket count = shard count; replicas are a storage concern).
+
+
+def create_database(spark: SparkSession, name: str) -> None:
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def drop_database(spark: SparkSession, name: str) -> None:
+    spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+
+
+def list_databases(spark: SparkSession) -> list[str]:
+    return [d.name for d in spark.catalog.listDatabases()]
+
+
+def create_collection(
+    spark: SparkSession,
+    database: str,
+    name: str,
+    source: DataFrame,
+    shards: int = 3,
+    key: str = "id",
+) -> None:
+    """`create_collection(shard=3)` analog: bucketed managed table — joins
+    and upserts on `key` then co-locate without a shuffle (the Spark
+    equivalent of the reference's shard placement, TencentVDB.py:55-56)."""
+    (
+        source.write.mode("overwrite")
+        .bucketBy(shards, key)
+        .sortBy(key)
+        .saveAsTable(f"{database}.{name}")
+    )
+
+
+def drop_collection(spark: SparkSession, database: str, name: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
+
+
+def list_collections(spark: SparkSession, database: str) -> list[str]:
+    return [t.name for t in spark.catalog.listTables(database)]
+
+
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads only as
     a long (spark.sql.legacy.parquet.nanosAsLong).  Convert to a proper

@@ -61,20 +61,27 @@ def minhash_signatures(
     num_perm: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i).  Entirely JVM-side (codegen over arrays)."""
+    """MinHash signature per doc: hash each shingle STRING once
+    (xxhash64), then derive the num_perm permutations by re-hashing the
+    64-bit value with the permutation index — 1 string pass + cheap long
+    hashes instead of num_perm string passes.  Entirely JVM-side (codegen
+    over arrays); ANSI-safe (no overflowing arithmetic)."""
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
     ).where(F.size("shingles") > 0)
+    hashed = sh.select(
+        F.col(id_col),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hashes"),
+    )
     sig = F.array(
         *[
             F.array_min(
-                F.transform("shingles", lambda s, i=i: F.xxhash64(s, F.lit(i)))
+                F.transform("hashes", lambda h, i=i: F.xxhash64(h, F.lit(i)))
             )
             for i in range(num_perm)
         ]
     )
-    return sh.select(F.col(id_col), sig.alias("signature"))
+    return hashed.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -105,16 +112,26 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    bucket_ok = banded.groupBy("band", "band_hash").agg(
-        F.count(F.lit(1)).alias("__n")
-    ).where(F.col("__n") <= max_bucket)
-    banded = banded.join(bucket_ok.select("band", "band_hash"), ["band", "band_hash"])
-    a = banded.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("a_id"))
-    b = banded.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("b_id"))
+    members = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    # in-bucket pair generation as array exprs (no self-join): for sorted
+    # members [m0..mk], pairs = {(mi, mj) : i < j} — ONE shuffle (the
+    # groupBy) instead of groupBy + join + join
+    pair_structs = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size("ms")),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "band_hash"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        members.select(F.explode(pair_structs).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
 
@@ -137,12 +154,30 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → exact-Jaccard
-    verify.  The scale path: pair space is O(candidates), not O(n²)."""
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col)
+    verify.  The scale path: pair space is O(candidates), not O(n²).
+
+    The shingle table is persisted — it feeds both the signature build and
+    the verify join, and recomputing 3× dominates runtime otherwise.  In a
+    production run signatures are an INDEX ARTIFACT: materialize them to a
+    table at ingest (the reference's build_index=True analog,
+    TencentVDB.py:79) and only the verify stage runs at query time."""
     sh = docs.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    sh.persist()
+    hashed = sh.select(
+        F.col(id_col), F.transform("sh", lambda s: F.xxhash64(s)).alias("hashes")
     )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("hashes", lambda h, i=i: F.xxhash64(h, F.lit(i)))
+            )
+            for i in range(num_perm)
+        ]
+    )
+    sigs = hashed.select(F.col(id_col), sig.alias("signature"))
+    cands = lsh_candidate_pairs(sigs, id_col)
     a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
     return (

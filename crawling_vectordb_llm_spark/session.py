@@ -44,6 +44,10 @@ def get_spark(
         # in operators where we KNOW the side is small (dims, query sets).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/cvls-warehouse"),
+        )
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as long and convert (catalog.read_table)

@@ -171,6 +171,35 @@ def q_rag_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_pipeline(spark, sf_dir, n_queries=N_QUERIES, k=TOP_K)
 
 
+_RAG_GEN_ORACLE = (
+    _RAG_ORACLE.format(nq=N_QUERIES, k=TOP_K)
+    .replace(
+        "SELECT query_id, context, citations,",
+        "SELECT query_id, 'summary('"
+        " || array_to_string(list_slice(string_split_regex(trim(context), '\\s+'), 1, 12), ' ')"
+        " || ') [' || CAST(LEAST(length('summarize according to \"query\", content: ' || context), 8000) AS VARCHAR)"
+        " || ' chars in]' || chr(10) || chr(10) || citations AS response,",
+    )
+    .replace(
+        "substr('summarize according to \"query\", content: ' || context, 1, 20000) AS prompt\nFROM agg",
+        "context AS __drop\nFROM agg",
+    )
+)
+# keep only (query_id, response)
+_RAG_GEN_ORACLE = f"SELECT query_id, response FROM ({_RAG_GEN_ORACLE})"
+
+
+@query("rag_generate", oracle=_RAG_GEN_ORACLE)
+def q_rag_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: full RAG tail — search → prompt → batch generate (deterministic
+    extractive stand-in via iterator pandas_udf; real LLM plugs in at the
+    same seam) → citations appended (main_server.py:151-174)."""
+    from crawling_vectordb_llm_spark.plans.generate import rag_generate
+
+    hits = search_pipeline(spark, sf_dir, n_queries=N_QUERIES, k=TOP_K)
+    return rag_generate(hits)
+
+
 @query("embed_knn_self")
 def q_embed_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: hash-embed document texts (S5/J1 embedding stage), then

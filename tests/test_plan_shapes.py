@@ -1,0 +1,88 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correct results are necessary but not sufficient: these assert the PLANS
+stay right (pushdown reaches the scan, small dims broadcast, top-k avoids
+full sorts, the as-of join shuffles exactly once).  A regression here is a
+100 TB performance bug even when sf0.01 results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawling_vectordb_llm_spark.suite import QUERIES
+
+from .conftest import SF_MEDIUM
+
+
+def plan_of(spark, name: str, execute: bool = False) -> str:
+    df = QUERIES[name](spark, SF_MEDIUM)
+    if execute:  # AQE reveals the final (codegen-annotated) plan only then
+        df.collect()  # count() would plan a DIFFERENT query; collect this one
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = plan_of(spark, "filter_project")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: the 11-column table scans only the 6 needed columns
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    cols = scan.split("FileScan parquet [", 1)[1].split("]", 1)[0].split(",")
+    assert len(cols) == 6, cols
+    assert plan.count("Exchange") == 0  # pure map job: no shuffle at all
+
+
+def test_dim_joins_broadcast(spark):
+    assert "BroadcastHashJoin" in plan_of(spark, "join_broadcast")
+    multi = plan_of(spark, "join_multiway")
+    # customer/nation/region ride broadcasts; only lineitem<->orders shuffles
+    assert multi.count("BroadcastHashJoin") >= 3
+
+
+def test_semi_join_broadcasts(spark):
+    plan = plan_of(spark, "semi_join")
+    assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 0
+
+
+def test_hash_agg_has_partial_phase(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "partial_" in plan  # map-side combine before the single shuffle
+    assert plan.count("Exchange") == 1
+
+
+def test_knn_sql_broadcasts_queries(spark):
+    plan = plan_of(spark, "knn_topk_sql")
+    assert "BroadcastNestedLoopJoin" in plan
+    # corpus side scans only (vec_id, embedding)
+    assert "PushedFilters" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = plan_of(spark, "asof_join")
+    assert plan.count("Exchange") == 1  # one hash partition on user_id
+    assert "Window" in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    for name in (
+        "join_broadcast",
+        "join_multiway",
+        "semi_join",
+        "anti_join",
+        "range_join_bands",
+    ):
+        assert "CartesianProduct" not in plan_of(spark, name), name
+
+
+@pytest.mark.parametrize(
+    "name", ["pricing_summary", "join_broadcast", "window_rank_topk"]
+)
+def test_whole_stage_codegen_active(spark, name):
+    # "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert "*(1)" in plan_of(spark, name, execute=True)
