@@ -1,0 +1,90 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The engine analog of the reference's per-session chat state (ordered
+history + KV cache held across turns, main_server.py:69-72,167-169):
+arbitrary per-key state maintained across micro-batches.  Demonstrated as
+per-user running totals — state = (n_events, total_value), updated per
+batch, emitted in update mode.
+
+Scale notes: state lives in the state store keyed by user_id (shuffled
+once); watermark/timeout would bound state for unbounded keys — here
+NoTimeout since the fixture key space is finite.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _update_user_totals(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total_micros = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # accumulate in integer micro-units: exact and order-independent,
+        # so the emission bit-matches the oracle's decimal sum
+        total_micros += int(round(pdf["value"] * 1e6).astype("int64").sum())
+    state.update((n, total_micros))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total_micros / 1e6, 6)],
+        }
+    )
+
+
+def run_streaming_user_totals(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """File stream → applyInPandasWithState(user totals) → memory sink
+    (update mode), drained with availableNow.  With the fixture arriving as
+    one batch the emitted rows ARE the final per-user totals — compared
+    against the batch groupBy oracle."""
+    import os
+
+    from crawling_vectordb_llm_spark.catalog import normalize_event_ts
+
+    schema = spark.read.parquet(parquet_path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isfile(parquet_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(parquet_path))
+        parquet_path = os.path.dirname(parquet_path)
+    stream = normalize_event_ts(reader.load(parquet_path))
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total_micros long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per key per batch; the single-file fixture
+    # is one batch, so the sink holds exactly the final row per key.  Guard
+    # anyway: keep the highest-n emission per key.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sink = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -8,6 +8,7 @@ Importing this package imports every suite module, which registers into
 from crawling_vectordb_llm_spark.suite import (  # noqa: F401
     dedup_suite,
     extended_suite,
+    functions_suite,
     pipeline_suite,
     relational_suite,
     streaming_suite,
