@@ -6,6 +6,7 @@ Importing this package imports every suite module, which registers into
 """
 
 from crawling_vectordb_llm_spark.suite import (  # noqa: F401
+    coverage_suite,
     dedup_suite,
     extended_suite,
     functions_suite,

@@ -56,6 +56,23 @@ def test_ivf_full_probe_equals_exact(spark):
     assert full == exact
 
 
+def test_lsh_ann_recall_vs_exact(spark):
+    from crawling_vectordb_llm_spark.suite import QUERIES
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    q = _queries(emb, 5)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join_numpy(q, emb, k=10, corpus_id="vec_id").collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["lsh_ann_topk"](spark, SF_SMALL).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall@10 too low: {recall}"
+
+
 def test_asof_strategies_agree(spark):
     e = read_table(spark, SF_SMALL, "events")
     purchases = e.where(F.col("event_type") == "purchase")
