@@ -72,6 +72,24 @@ def main() -> None:
         t2 = run_query(fn, spark, sf_dir)
         results[name] = round(min(t1, t2), 3)
 
+    # ingest-shaped pipeline throughput (BASELINE.md bench plan): clean →
+    # hash-embed → normalize → bulk parquet write, rows/s
+    import shutil
+    import tempfile
+
+    from crawling_vectordb_llm_spark.catalog import read_table
+    from crawling_vectordb_llm_spark.plans.index_build import ingest_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    ingest_s = float("inf")
+    for _ in range(2):  # same warm/steady-state policy as the queries
+        out = tempfile.mkdtemp(prefix="bench_ingest_")
+        t0 = time.time()
+        ingest_documents(docs).write.mode("overwrite").parquet(out + "/collection")
+        ingest_s = min(ingest_s, time.time() - t0)
+        shutil.rmtree(out, ignore_errors=True)
+
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -81,6 +99,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
+                "ingest_rows_per_s": round(n_docs / ingest_s, 1),
             }
         )
     )

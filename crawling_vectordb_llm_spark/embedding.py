@@ -22,17 +22,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
 
 
+_TOKEN_CACHE: dict[str, tuple[int, float]] = {}
+
+
+def _token_feature(tok: str, dim: int) -> tuple[int, float]:
+    key = f"{tok}\x00{dim}"
+    hit = _TOKEN_CACHE.get(key)
+    if hit is None:
+        h = hashlib.md5(tok.encode("utf-8")).digest()
+        hit = (int.from_bytes(h[:4], "little") % dim, 1.0 if h[4] & 1 else -1.0)
+        if len(_TOKEN_CACHE) < 1_000_000:  # bound worker memory
+            _TOKEN_CACHE[key] = hit
+    return hit
+
+
 def hash_encode_batch(texts: list[str], dim: int) -> np.ndarray:
     """Deterministic stand-in encoder: token -> stable bucket/sign from
-    md5, L2-normalized bag-of-hashed-words.  Similar texts get similar
-    vectors (shared tokens), which is enough to exercise every downstream
-    vector op with stable results."""
+    md5 (memoized per worker — real corpora repeat tokens heavily),
+    L2-normalized bag-of-hashed-words.  Similar texts get similar vectors
+    (shared tokens), which is enough to exercise every downstream vector
+    op with stable results."""
     out = np.zeros((len(texts), dim), dtype=np.float64)
     for i, t in enumerate(texts):
         for tok in (t or "").lower().split():
-            h = hashlib.md5(tok.encode("utf-8")).digest()
-            bucket = int.from_bytes(h[:4], "little") % dim
-            sign = 1.0 if h[4] & 1 else -1.0
+            bucket, sign = _token_feature(tok, dim)
             out[i, bucket] += sign
         n = np.linalg.norm(out[i])
         if n > 0:

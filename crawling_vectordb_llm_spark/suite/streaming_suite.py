@@ -71,6 +71,52 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sessionize_batch(_events(spark, sf_dir), gap_seconds=1800)
 
 
+@query(
+    "session_window_fn",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n, {_DSUM_V} AS total_value
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE session_window() function (gap merge in the engine) —
+    must agree with the manual lag/cumsum sessionization oracle."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 @query("streaming_tumbling_window", oracle=_TUMBLING_ORACLE)
 def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same tumbling agg executed as a Structured Streaming query
