@@ -114,8 +114,9 @@ def assign_centroids(
             )
 
     vec_type = corpus.schema[vec_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
     return corpus.select(id_col, vec_col).mapInPandas(
-        _assign, schema=f"{id_col} long, {vec_col} {vec_type}, centroid_id int"
+        _assign, schema=f"{id_col} {id_type}, {vec_col} {vec_type}, centroid_id int"
     )
 
 
@@ -169,8 +170,9 @@ def ivf_search(
                 }
             )
 
+    cid_t = assigned_corpus.schema[corpus_id].dataType.simpleString()
     scored = candidates.mapInPandas(
-        _score, schema=f"{query_id} long, {corpus_id} long, score double"
+        _score, schema=f"{query_id} long, {corpus_id} {cid_t}, score double"
     )
     return grouped_topk(
         scored, [query_id], [F.desc("score"), F.asc(corpus_id)], k

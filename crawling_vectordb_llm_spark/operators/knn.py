@@ -101,7 +101,9 @@ def knn_join_numpy(
     qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
     bq = spark.sparkContext.broadcast((qids, qnorm))
 
-    out_schema = f"{query_id} long, {corpus_id} long, {score_col} double"
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"{query_id} {qid_t}, {corpus_id} {cid_t}, {score_col} double"
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, qn = bq.value
@@ -178,6 +180,8 @@ def threshold_similarity_join(
         )
 
     spark = left.sparkSession
+    aid_t = left.schema[left_id].dataType.simpleString()
+    bid_t = right.schema[right_id].dataType.simpleString()
     rrows = right.select(right_id, right_vec).collect()
     rids = np.array([r[0] for r in rrows])
     rmat = np.array([r[1] for r in rrows], dtype=np.float64)
@@ -209,5 +213,5 @@ def threshold_similarity_join(
             )
 
     return left.select(left_id, left_vec).mapInPandas(
-        score_block, schema=f"a_id long, b_id long, {score_col} double"
+        score_block, schema=f"a_id {aid_t}, b_id {bid_t}, {score_col} double"
     )

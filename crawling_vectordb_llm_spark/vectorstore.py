@@ -1,0 +1,146 @@
+"""VectorCollection — the reference SDK's surface, Spark-backed.
+
+A user of the reference works through the tcvectordb client:
+    create_collection(shard=3, embedding=..., index=[PRIMARY id, VECTOR
+    cosine, FILTER title])                         (TencentVDB.py:21-61)
+    coll.upsert(documents=[...], build_index=True) (TencentVDB.py:63-79)
+    coll.searchByText(embeddingItems=[txt], limit=3, filter=...)
+                                                   (main_server.py:40-44)
+
+This class reproduces that contract on parquet + the engine's operators:
+server-side embedding → the batch embed stage; HNSW → IVF artifacts;
+upsert-by-id → merge write; filtered search → predicate pushdown before
+scoring.  Batch-first: `search_by_text` takes a LIST of queries and
+answers them in one Spark job (the reference loops one HTTP call per
+query — SURVEY §4's first deleted bottleneck).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.embedding import hash_encode_batch, make_embed_udf
+from crawling_vectordb_llm_spark.functions.vector import l2_normalize
+from crawling_vectordb_llm_spark.operators.ivf import (
+    assign_centroids,
+    ivf_search,
+    kmeans_centroids,
+)
+from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy
+from crawling_vectordb_llm_spark.operators.merge import upsert_by_key
+
+
+class VectorCollection:
+    """Parquet-backed vector collection with embed-on-write, merge upsert,
+    and (optionally IVF-accelerated) cosine search."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        dim: int = 64,
+        shards: int = 3,
+        n_centroids: int = 16,
+        encode_batch: Callable[[list[str], int], np.ndarray] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.dim = dim
+        self.shards = shards
+        self.n_centroids = n_centroids
+        self._encode = encode_batch or hash_encode_batch
+        self._embed_udf = make_embed_udf(dim=dim, encode_batch=encode_batch)
+        self.centroids: np.ndarray | None = None
+
+    # ------------------------------------------------------------ lifecycle
+
+    @property
+    def _table(self) -> str:
+        return os.path.join(self.path, "collection")
+
+    @property
+    def _assignment(self) -> str:
+        return os.path.join(self.path, "ivf_assignment")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._table)
+
+    def documents(self) -> DataFrame:
+        return self.spark.read.parquet(self._table)
+
+    # ------------------------------------------------------------ writes
+
+    def upsert(self, docs: DataFrame, build_index: bool = True) -> None:
+        """Embed-on-write + merge-by-id (last writer wins), then optional
+        index artifact rebuild — the TencentVDB.py:63-79 contract, bulk."""
+        incoming = (
+            docs.withColumn("vector", self._embed_udf(F.col("text")))
+            .withColumn("vector", l2_normalize("vector").cast("array<float>"))
+        )
+        if self.exists():
+            merged = upsert_by_key(self.documents(), incoming, key="id")
+        else:
+            merged = incoming.dropDuplicates(["id"])
+        tmp = self._table + ".staging"
+        merged.repartition(self.shards, "id").write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self._table)
+        if build_index:
+            self.build_index()
+
+    def build_index(self) -> None:
+        coll = self.documents()
+        self.centroids = kmeans_centroids(coll, self.n_centroids, vec_col="vector")
+        assign_centroids(
+            coll, self.centroids, id_col="id", vec_col="vector"
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+            self._assignment
+        )
+
+    # ------------------------------------------------------------ search
+
+    def search_by_text(
+        self,
+        texts: list[str],
+        limit: int = 3,
+        filter: str | None = None,
+        use_index: bool = False,
+        n_probe: int = 4,
+    ) -> DataFrame:
+        """Batch searchByText: embed every query text, cosine top-`limit`
+        per query, optional SQL predicate applied BEFORE scoring (J3).
+        Returns (query_id, id, rank, score) — query_id indexes `texts`."""
+        qmat = self._encode(texts, self.dim)
+        queries = self.spark.createDataFrame(
+            [(i, [float(x) for x in qmat[i]]) for i in range(len(texts))],
+            "query_id long, query_vec array<double>",
+        )
+        corpus = self.documents()
+        if filter:
+            corpus = corpus.where(filter)
+        if use_index and os.path.exists(self._assignment):
+            if self.centroids is None:
+                raise ValueError("index not built in this session")
+            assigned = self.spark.read.parquet(self._assignment)
+            if filter:
+                assigned = assigned.join(corpus.select("id"), "id", "left_semi")
+            hits = ivf_search(
+                queries, assigned, self.centroids, k=limit, n_probe=n_probe,
+                corpus_id="id", corpus_vec="vector",
+            )
+        else:
+            hits = knn_join_numpy(
+                queries, corpus, k=limit, corpus_id="id", corpus_vec="vector"
+            )
+        return hits
+
+    def search_results_with_docs(self, hits: DataFrame) -> DataFrame:
+        """Join hits back to full documents (the reference returns whole
+        docs per hit, main_server.py:43-44).  Hits are tiny — broadcast."""
+        return self.documents().join(F.broadcast(hits), "id", "inner")

@@ -1,0 +1,85 @@
+"""VectorCollection facade: the reference SDK contract end-to-end —
+upsert (embed-on-write, overwrite-by-id), searchByText (batch, filtered,
+indexed), build_index."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import read_table
+from crawling_vectordb_llm_spark.vectorstore import VectorCollection
+
+from .conftest import SF_SMALL
+
+
+def _fresh(spark, tmp_path, **kw):
+    docs = (
+        read_table(spark, SF_SMALL, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(
+            F.concat(F.lit("https://x/"), F.col("doc_id").cast("string")).alias("id"),
+            "text",
+            "lang",
+        )
+    )
+    coll = VectorCollection(spark, str(tmp_path / "coll"), dim=64, **kw)
+    coll.upsert(docs, build_index=True)
+    return coll, docs
+
+
+def test_upsert_and_search_by_text(spark, tmp_path):
+    coll, docs = _fresh(spark, tmp_path)
+    assert coll.documents().count() == 100
+    # query with a document's own text: that document must be rank 1
+    target = docs.where(F.col("id") == "https://x/7").first()
+    hits = coll.search_by_text([target["text"]], limit=3).collect()
+    rank1 = [r for r in hits if r["rank"] == 1][0]
+    assert rank1["id"] == "https://x/7"
+    assert abs(rank1["score"] - 1.0) < 1e-6
+
+
+def test_upsert_overwrites_by_id(spark, tmp_path):
+    coll, docs = _fresh(spark, tmp_path)
+    update = spark.createDataFrame(
+        [("https://x/7", "completely new replacement text", "en")],
+        "id string, text string, lang string",
+    )
+    coll.upsert(update)
+    assert coll.documents().count() == 100  # overwrite, not append
+    row = coll.documents().where(F.col("id") == "https://x/7").first()
+    assert row["text"] == "completely new replacement text"
+    # the new text now finds itself
+    hits = coll.search_by_text(["completely new replacement text"], limit=1).collect()
+    assert hits[0]["id"] == "https://x/7"
+
+
+def test_filtered_search(spark, tmp_path):
+    coll, docs = _fresh(spark, tmp_path)
+    some_text = docs.first()["text"]
+    hits = coll.search_by_text([some_text], limit=5, filter="lang = 'en'")
+    ids = {r["id"] for r in hits.collect()}
+    en_ids = {r["id"] for r in coll.documents().where("lang = 'en'").collect()}
+    assert ids and ids <= en_ids
+
+
+def test_indexed_search_matches_exact_mostly(spark, tmp_path):
+    coll, docs = _fresh(spark, tmp_path, n_centroids=8)
+    texts = [r["text"] for r in docs.limit(5).collect()]
+    exact = {
+        (r["query_id"], r["id"])
+        for r in coll.search_by_text(texts, limit=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["id"])
+        for r in coll.search_by_text(texts, limit=5, use_index=True, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_search_results_with_docs(spark, tmp_path):
+    coll, docs = _fresh(spark, tmp_path)
+    hits = coll.search_by_text([docs.first()["text"]], limit=3)
+    enriched = coll.search_results_with_docs(hits)
+    assert enriched.count() == 3
+    assert {"text", "lang", "rank", "score"} <= set(enriched.columns)
