@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from crawling_vectordb_llm_spark.shipping import ensure_package_shipped  # noqa: E402
+from crawling_vectordb_llm_spark.shipping import (  # noqa: E402
+    ensure_package_shipped,
+    ensure_session_confs,
+)
 from crawling_vectordb_llm_spark.suite import ORACLES, QUERIES  # noqa: E402
 
 
@@ -27,6 +30,7 @@ def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
 
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_package_shipped(spark)
+        ensure_session_confs(spark)
         return fn(spark, sf_dir)
 
     wrapper.__name__ = getattr(fn, "__name__", "query")
@@ -39,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from crawling_vectordb_llm_spark.plans.rag import search_pipeline
 
     ensure_package_shipped(spark)
+    ensure_session_confs(spark)
     return search_pipeline(spark, "/root/testdata/sf0.001", n_queries=5, k=3)
 
 

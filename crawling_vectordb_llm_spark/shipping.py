@@ -53,3 +53,14 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         return
     sc.addPyFile(_package_zip())
     _SHIPPED.add(key)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the engine requires regardless of who built the
+    session (the external driver builds its own):
+    - nanosAsLong: the events fixture is TIMESTAMP(NANOS), which Spark's
+      parquet reader rejects otherwise
+    - UTC session timezone: oracle comparisons are against UTC-naive DuckDB
+    Both are runtime-settable SQL confs (verified)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
