@@ -211,6 +211,17 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_percentile")
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (sketch values are engine-specific): percentile_approx
+    (t-digest-style) — accuracy vs exact percentile asserted in tests."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 1000).alias("p90_approx"),
+    )
+
+
 @query(
     "percentile_stats",
     oracle="""

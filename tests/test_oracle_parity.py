@@ -50,6 +50,34 @@ def test_oracle_parity(spark, duck, name):
         pytest.fail(f"{int(neq.sum())}/{len(ns)} rows differ:\n{detail}")
 
 
+def test_approx_percentile_accuracy(spark):
+    approx = {
+        r["o_orderstatus"]: (r["p50_approx"], r["p90_approx"])
+        for r in QUERIES["approx_percentile"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: (r["p50"], r["p90"])
+        for r in QUERIES["percentile_stats"](spark, SF_SMALL).collect()
+    }
+    for status, (p50, p90) in exact.items():
+        a50, a90 = approx[status]
+        assert abs(a50 - p50) / p50 < 0.05
+        assert abs(a90 - p90) / p90 < 0.05
+
+
+def test_approx_distinct_accuracy(spark):
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in QUERIES["approx_distinct"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in QUERIES["count_distinct"](spark, SF_SMALL).collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) / n < 0.1
+
+
 def test_rows_only_queries_nonempty(spark):
     for name in set(QUERIES) - set(ORACLES):
         df = QUERIES[name](spark, SF_SMALL)
