@@ -1,0 +1,115 @@
+"""Scaling stress: replicate the sf0.1 fixtures 1x/4x/16x in /tmp (ids
+offset per copy so keys stay unique) and time representative operators.
+A scale-correct operator's wall-clock grows ~linearly with data (or
+better); superlinear growth exposes a hidden quadratic/shuffle problem.
+
+  python tools/stress.py            # prints a markdown table
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import read_table
+from crawling_vectordb_llm_spark.operators.dedup import minhash_near_dup_pairs
+from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy
+from crawling_vectordb_llm_spark.session import get_spark
+from crawling_vectordb_llm_spark.streaming.windows import sessionize_batch, tumbling_agg
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicate(df, copies: int, id_cols: list[str], stride: int = 10_000_000):
+    out = None
+    for i in range(copies):
+        c = df
+        for col in id_cols:
+            c = c.withColumn(col, F.col(col) + i * stride)
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark("stress")
+    spark.range(1_000_000).selectExpr("sum(id)").count()
+    base = tempfile.mkdtemp(prefix="stress_")
+    lineitem = read_table(spark, SF_DIR, "lineitem")
+    orders = read_table(spark, SF_DIR, "orders")
+    events = read_table(spark, SF_DIR, "events")
+    docs = read_table(spark, SF_DIR, "documents")
+    emb = read_table(spark, SF_DIR, "embeddings")
+
+    results: dict[str, dict[int, float]] = {}
+    for copies in (1, 4, 16):
+        d = os.path.join(base, f"x{copies}")
+        replicate(lineitem, copies, ["l_orderkey"]).write.mode("overwrite").parquet(f"{d}/lineitem")
+        replicate(orders, copies, ["o_orderkey", "o_custkey"]).write.mode("overwrite").parquet(f"{d}/orders")
+        replicate(events, copies, ["event_id", "user_id"]).write.mode("overwrite").parquet(f"{d}/events")
+        replicate(docs, copies, ["doc_id"]).write.mode("overwrite").parquet(f"{d}/documents")
+        replicate(emb, copies, ["vec_id"]).write.mode("overwrite").parquet(f"{d}/embeddings")
+        L = spark.read.parquet(f"{d}/lineitem")
+        O = spark.read.parquet(f"{d}/orders")
+        E = spark.read.parquet(f"{d}/events")
+        D = spark.read.parquet(f"{d}/documents")
+        V = spark.read.parquet(f"{d}/embeddings")
+
+        cases = {
+            "hash_agg": lambda: L.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(22,6)")), F.count(F.lit(1)))
+            .count(),
+            "join_agg": lambda: L.join(O, L["l_orderkey"] == O["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)))
+            .count(),
+            "window_rank": lambda: O.withColumn(
+                "rn",
+                F.row_number().over(
+                    __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+                        "o_custkey"
+                    ).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+                ),
+            )
+            .where(F.col("rn") <= 3)
+            .count(),
+            "sessionize": lambda: sessionize_batch(E).count(),
+            "tumbling": lambda: tumbling_agg(E).count(),
+            "knn_200q": lambda: knn_join_numpy(
+                V.where(F.col("vec_id") < 200).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                ),
+                V,
+                k=10,
+                corpus_id="vec_id",
+            ).count(),
+            "minhash_neardup": lambda: minhash_near_dup_pairs(D, tau=0.5).count(),
+        }
+        for name, fn in cases.items():
+            fn()  # warm (plan compile + page cache)
+            results.setdefault(name, {})[copies] = round(timed(fn), 2)
+        shutil.rmtree(d, ignore_errors=True)
+
+    print("| op | 1x | 4x | 16x | 16x/1x |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        ratio = round(r[16] / max(r[1], 1e-9), 1)
+        print(f"| {name} | {r[1]} | {r[4]} | {r[16]} | {ratio} |")
+    shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
