@@ -1,0 +1,78 @@
+"""BM25 keyword search — the lexical complement to the vector search path
+(the reference retrieves by embedding only; a training-data/RAG pipeline
+needs both, and hybrid = union of the two candidate sets).
+
+Pure DataFrame ops: tokenize → term frequencies → document frequencies →
+BM25 scoring join → grouped top-k.  Everything shuffles on `term` (uniform
+after stopword-heavy heads are capped by... nothing here — at 100 TB you'd
+drop ultra-high-df terms, which contribute ~0 idf anyway) and then once on
+(query, doc) for the final sum.
+
+Determinism for the oracle: per-(term,doc) partial scores are cast to
+DECIMAL(18,12) before the final sum, so the score is order-independent and
+bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 docs per keyword query.  queries = [(query_id, text)]."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl")
+    )
+    n_docs = docs.count()
+    avgdl = (
+        dl.agg(
+            (F.sum(F.col("dl").cast("decimal(22,6)")).cast("double") / F.count(F.lit(1))).alias("a")
+        ).first()["a"]
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, text in queries for t in text.split()],
+        "query_id long, term string",
+    ).distinct()
+
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl)))
+    )
+    partial = (
+        qterms.join(tf, "term")
+        .join(F.broadcast(dfreq.join(qterms.select("term").distinct(), "term")), "term")
+        .join(dl, id_col)
+        .select(
+            "query_id",
+            id_col,
+            # DECIMAL(18,9): coarse enough that a 1-2 ulp ln() difference
+            # between JVM and libm can't straddle a rounding boundary,
+            # exact enough for stable 6dp final scores
+            (idf * tf_part).cast("decimal(18,9)").alias("s"),
+        )
+    )
+    scored = partial.groupBy("query_id", id_col).agg(
+        F.round(F.sum("s").cast("double"), 6).alias("score")
+    )
+    return grouped_topk(
+        scored, ["query_id"], [F.desc("score"), F.asc(id_col)], k
+    )

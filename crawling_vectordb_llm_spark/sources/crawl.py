@@ -88,6 +88,42 @@ def clean_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+def extract_links(html_col: str = "html") -> F.Column:
+    """S2 link extraction: every <a href="..."> target (JVM-side regex)."""
+    return F.expr(f"""regexp_extract_all({html_col}, '<a href="([^"]+)"', 1)""")
+
+
+def crawl_bfs(
+    seeds: DataFrame,
+    fetcher: FetchFn,
+    max_depth: int = 10,
+    url_col: str = "link",
+) -> DataFrame:
+    """Iterative BFS frontier crawl — the multi-hop generalization of the
+    reference's fixed two-stage crawl (seed nav tree → pages,
+    Crawling.py:13-51): fetch frontier → extract links → anti-join the
+    visited set → next frontier, to fixpoint or max_depth.
+
+    Scale notes: the visited set stays a DataFrame (anti-join dedup — the
+    upsert-by-id primitive), fetching parallelizes per partition, and each
+    iteration `localCheckpoint`s to truncate lineage — without it the plan
+    doubles per hop and iteration i replays every fetch since the seed.
+    Returns the visited URL set."""
+    visited = seeds.select(url_col).distinct().localCheckpoint()
+    frontier = visited
+    for _ in range(max_depth):
+        pages = fetch_pages(frontier, fetcher, url_col)
+        links = pages.select(
+            F.explode(extract_links("html")).alias(url_col)
+        ).distinct()
+        new = links.join(visited, url_col, "left_anti").distinct().localCheckpoint()
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new).localCheckpoint()
+        frontier = new
+    return visited
+
+
 def crawl_ingest(
     urls: DataFrame, fetcher: FetchFn, url_col: str = "link"
 ) -> DataFrame:

@@ -90,6 +90,36 @@ def q_flatten_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "crawl_bfs_frontier",
+    oracle="""
+WITH RECURSIVE reach AS (
+  SELECT 1 AS n
+  UNION
+  SELECT u AS n FROM (SELECT unnest([2 * n + 1, 2 * n + 2]) AS u FROM reach)
+  WHERE u < 25
+)
+SELECT 'page:' || CAST(n AS VARCHAR) AS link FROM reach
+""",
+)
+def q_crawl_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS crawl over a synthetic site (page n links to 2n+1,
+    2n+2 below 25), seed page:1 — the visited set must equal graph
+    reachability (oracle: recursive CTE).  Exercises the iterate-to-
+    fixpoint frontier loop with anti-join dedup and per-hop lineage
+    checkpointing."""
+
+    def fetch(url: str) -> str:
+        n = int(url.split(":")[1])
+        anchors = "".join(
+            f'<a href="page:{c}">x</a>' for c in (2 * n + 1, 2 * n + 2) if c < 25
+        )
+        return f'<html>{anchors}<div class="content">node {n}</div></html>'
+
+    seeds = spark.createDataFrame([("page:1",)], "link string")
+    return crawl.crawl_bfs(seeds, fetch, max_depth=10)
+
+
+@query(
     "crawl_ingest",
     oracle="""
 SELECT 'https://site.example/' || CAST(n_nationkey AS VARCHAR) AS id,

@@ -118,6 +118,60 @@ def q_lang_id_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [(0, "spark query engine"), (1, "data table scan"), (2, "hash join")]
+_BM25_QTERMS_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, text in _BM25_QUERIES for t in text.split()
+)
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(22,6))) AS DOUBLE)
+           / COUNT(*) AS avgdl
+  FROM documents
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), qterms(query_id, term) AS (VALUES {_BM25_QTERMS_SQL}),
+partial AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+              AS DECIMAL(18,9)) AS sc
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+), scored AS (
+  SELECT query_id, doc_id, ROUND(CAST(SUM(sc) AS DOUBLE), 6) AS score
+  FROM partial GROUP BY 1, 2
+)
+SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search top-10 — the lexical retrieval path (pairs with
+    the vector path for hybrid search)."""
+    from crawling_vectordb_llm_spark.operators.bm25 import bm25_topk
+
+    out = bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
+    return out.select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("rank"), "score"
+    )
+
+
 @query(
     "doc_fingerprint",
     oracle="""
