@@ -172,6 +172,89 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HYBRID_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(22,6))) AS DOUBLE)
+           / COUNT(*) AS avgdl
+  FROM documents
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), qterms(query_id, term) AS (VALUES {{qterms}}),
+partial AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+              AS DECIMAL(18,9)) AS sc
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+), bscored AS (
+  SELECT query_id, doc_id, ROUND(CAST(SUM(sc) AS DOUBLE), 6) AS score
+  FROM partial GROUP BY 1, 2
+), branks AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM bscored QUALIFY rank <= 20
+), vq AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {{nq}}
+), vscored AS (
+  SELECT vq.query_id, e.vec_id AS doc_id,
+         list_cosine_similarity(vq.qv, CAST(e.embedding AS DOUBLE[])) AS score
+  FROM vq CROSS JOIN embeddings e
+), vranks AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM vscored QUALIFY rank <= 20
+), fused AS (
+  SELECT COALESCE(v.query_id, b.query_id) AS query_id,
+         COALESCE(v.doc_id, b.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + v.rank), 0.0)
+             + COALESCE(1.0 / (60 + b.rank), 0.0), 6) AS rrf
+  FROM vranks v FULL OUTER JOIN branks b
+    ON v.query_id = b.query_id AND v.doc_id = b.doc_id
+)
+SELECT query_id, doc_id, CAST(rank AS INT) AS rank, rrf FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused)
+WHERE rank <= 10
+"""
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle=_HYBRID_ORACLE.format(qterms=_BM25_QTERMS_SQL, nq=3),
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: vector kNN (top-20) ⊕ BM25 (top-20) fused by
+    reciprocal-rank fusion, top-10 per query."""
+    from crawling_vectordb_llm_spark.catalog import table_path
+    from crawling_vectordb_llm_spark.operators.bm25 import bm25_topk
+    from crawling_vectordb_llm_spark.operators.hybrid import rrf_fuse
+    from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy
+
+    docs = _docs(spark, sf_dir)
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vector_hits = knn_join_numpy(queries, emb, k=20, corpus_id="vec_id").select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    bm25_hits = bm25_topk(docs, _BM25_QUERIES, k=20).select(
+        "query_id", "doc_id", "rank"
+    )
+    return rrf_fuse(vector_hits, bm25_hits, k=10)
+
+
 @query(
     "doc_fingerprint",
     oracle="""
