@@ -46,6 +46,9 @@ HEADLINE = [
     "asof_join",
     "ann_ivf_topk",
     "multimodal_meta",
+    "doc_chunks",
+    "quality_repetition",
+    "tfidf_top_terms",
 ]
 
 

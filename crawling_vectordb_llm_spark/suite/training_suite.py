@@ -1,0 +1,265 @@
+"""Training-data-pipeline queries over `documents` — the curation ops a
+large-scale LLM data pipeline runs between crawl and training, beyond what
+the reference itself ships (its whole curation surface is truncate+collapse,
+Crawling.py:45-46): chunking, repetition-based quality signals, PII
+redaction, deterministic sampling, TF-IDF keyword extraction, and shard
+assignment for training-set writes.
+
+All six are pure JVM column expressions / built-in aggregations (no UDFs),
+each with an exact DuckDB oracle.  Determinism: floats rounded to 6 dp in
+both engines, ranks tie-broken by term/id, hash-based ops use md5 (identical
+hex in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import table_path
+from crawling_vectordb_llm_spark.operators.chunking import chunk_documents
+from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+from crawling_vectordb_llm_spark.suite.registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+@query(
+    "doc_chunks",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), 150)) AS start
+  FROM documents
+)
+SELECT doc_id,
+       CAST((start - 1) / 150 AS INT) AS chunk_id,
+       length(substr(text, start, 200)) AS chunk_len,
+       substr(text, start, 40) AS chunk_prefix
+FROM s
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 200-char windows, 50-char overlap (step 150) — the
+    lossless generalization of the reference's 6000-char truncate."""
+    chunks = chunk_documents(_docs(spark, sf_dir), size=200, overlap=50)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.length("chunk_text").cast("bigint").alias("chunk_len"),
+        F.substring("chunk_text", 1, 40).alias("chunk_prefix"),
+    )
+
+
+@query(
+    "quality_repetition",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+toks AS (
+  SELECT doc_id, ws[i] AS word FROM t, UNNEST(generate_series(1, len(ws))) AS s(i)
+),
+uni AS (SELECT doc_id, word, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+us AS (
+  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n_tok, COUNT(*) AS n_distinct,
+         MAX(c) AS max_uni
+  FROM uni GROUP BY 1
+),
+bt AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM t, UNNEST(generate_series(1, len(ws) - 1)) AS s(i)
+),
+bg AS (SELECT doc_id, bg, COUNT(*) AS c FROM bt GROUP BY 1, 2),
+bs AS (
+  SELECT doc_id, MAX(c) AS max_big, CAST(SUM(c) AS DOUBLE) AS n_big
+  FROM bg GROUP BY 1
+)
+SELECT us.doc_id,
+       ROUND(1 - n_distinct / n_tok, 6) AS dup_word_frac,
+       ROUND(max_uni / n_tok, 6) AS top_word_frac,
+       ROUND(max_big / n_big, 6) AS top_bigram_frac
+FROM us JOIN bs ON us.doc_id = bs.doc_id
+""",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction, top-word
+    fraction, top-bigram fraction.  Bigrams built JVM-side by zipping the
+    token array with itself shifted by one (`slice`+`zip_with`) — no window
+    sort, one shuffle per aggregation."""
+    d = _docs(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, F.lit(1), n - 1),
+        F.slice(ws, F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    toks = d.select("doc_id", F.explode(ws).alias("word"))
+    uni = toks.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    us = uni.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n_tok"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("max_uni"),
+    )
+    bg = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    bs = bg.groupBy("doc_id").agg(
+        F.max("c").alias("max_big"), F.sum("c").cast("double").alias("n_big")
+    )
+    return us.join(bs, "doc_id").select(
+        "doc_id",
+        F.round(1 - F.col("n_distinct") / F.col("n_tok"), 6).alias("dup_word_frac"),
+        F.round(F.col("max_uni") / F.col("n_tok"), 6).alias("top_word_frac"),
+        F.round(F.col("max_big") / F.col("n_big"), 6).alias("top_bigram_frac"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_PHONE_RE = r"[0-9]{3}-[0-9]+"
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+WITH bodies AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com tel 555-0' || CAST(doc_id AS VARCHAR) AS body
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(body, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(body, '{_PHONE_RE}')) AS n_phones,
+       right(regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g'), 60) AS redacted_tail
+FROM bodies
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: mask emails/phones with typed placeholders and count
+    redactions.  The fixture corpus contains no PII, so a deterministic
+    synthetic contact line (derived from doc_id) is appended first — the
+    redaction regexes then have real work to do on every row."""
+    d = _docs(spark, sf_dir)
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-0"),
+        F.col("doc_id").cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(body, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(body, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(body, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.substring(redacted, -60, 60).alias("redacted_tail"),
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       ROUND(CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS sample_rate
+FROM documents
+GROUP BY lang
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling, audited per stratum: keep a doc iff the
+    first md5(doc_id) byte < 0x28 (≈15.6%).  Content-hash gating (vs
+    `rand()`) makes the sample reproducible across runs, engines, and
+    cluster sizes — the property a training-data pipeline needs for
+    ablation reruns.  Pure map-side filter + one aggregation."""
+    d = _docs(spark, sf_dir)
+    keep = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "28").cast("int")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(keep).alias("n_sampled"),
+        F.round(F.sum(keep).cast("double") / F.count("*"), 6).alias("sample_rate"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.c * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+  FROM tf JOIN d USING (term), n
+)
+SELECT doc_id, term, CAST(rank AS INT) AS rank, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+WHERE rank <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 terms per document by tf·idf
+    (idf = ln(N/df)), ties broken by term.  The document-frequency side is
+    a small aggregate — Catalyst broadcast-joins it back to the term counts
+    (AQE picks broadcast from the runtime size)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("c") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    return grouped_topk(
+        scored, ["doc_id"], [F.desc("tfidf"), F.asc("term")], 3, rank_col="rank"
+    ).select("doc_id", "term", F.col("rank").cast("int").alias("rank"), "tfidf")
+
+
+@query(
+    "shard_assignment",
+    oracle="""
+SELECT CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1
+""",
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set shard writer stats: route each doc to one of 16 shards
+    by the first md5(doc_id) nibble and audit shard balance (doc and token
+    counts).  Content-hash routing is stable under repartition/rerun — the
+    write itself would be `df.repartition('shard_id').write.partitionBy`."""
+    d = _docs(spark, sf_dir)
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        .alias("shard_id")
+    )
+    return d.groupBy(shard).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
