@@ -253,3 +253,46 @@ def simhash_near_dup_candidates(
         "b_id",
         F.bit_count(F.expr("a_sim ^ b_sim")).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for each benchmark doc, the top-k corpus
+    docs by n-gram containment |sh(corpus) ∩ sh(bench)| / |sh(bench)| — the
+    standard eval-leakage check a training pipeline runs before a data
+    release (corpus docs above a containment threshold get dropped).
+
+    Scale shape: the benchmark side is small (eval sets are thousands of
+    docs) so its exploded shingles BROADCAST; the corpus side is a map-only
+    explode, one shuffle for the (doc, bench) overlap count, then the
+    grouped top-k window.  No corpus self-join anywhere.
+    """
+    from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+
+    bsh = benchmark.select(
+        F.col(id_col).alias("bench_id"), word_shingles(text_col, n).alias("sh")
+    ).where(F.size("sh") > 0)
+    bench_sizes = bsh.select("bench_id", F.size("sh").alias("n_sh"))
+    btok = bsh.select("bench_id", F.explode("sh").alias("sh"))
+    ctok = corpus.select(
+        F.col(id_col), word_shingles(text_col, n).alias("sh")
+    ).select(id_col, F.explode("sh").alias("sh"))
+    inter = (
+        ctok.join(F.broadcast(btok), "sh")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = inter.join(F.broadcast(bench_sizes), "bench_id").select(
+        "bench_id",
+        id_col,
+        F.round(F.col("inter") / F.col("n_sh").cast("double"), 6).alias("containment"),
+    )
+    return grouped_topk(
+        scored, ["bench_id"], [F.desc("containment"), F.asc(id_col)], k
+    )

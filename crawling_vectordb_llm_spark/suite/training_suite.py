@@ -263,3 +263,45 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
     )
+
+
+@query(
+    "decontamination_check",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+         )) AS shingles
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+b AS (SELECT doc_id AS bench_id, shingles FROM sh WHERE doc_id < 5),
+c AS (SELECT doc_id, shingles FROM sh WHERE doc_id >= 5),
+pairs AS (
+  SELECT b.bench_id, c.doc_id,
+         len(list_intersect(c.shingles, b.shingles)) AS inter,
+         len(b.shingles) AS n_sh
+  FROM c CROSS JOIN b
+)
+SELECT bench_id, doc_id, CAST(rank AS INT) AS rank, containment FROM (
+  SELECT bench_id, doc_id,
+         ROUND(inter / CAST(n_sh AS DOUBLE), 6) AS containment,
+         row_number() OVER (PARTITION BY bench_id
+                            ORDER BY ROUND(inter / CAST(n_sh AS DOUBLE), 6) DESC,
+                                     doc_id) AS rank
+  FROM pairs WHERE inter > 0)
+WHERE rank <= 5
+""",
+)
+def q_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage check: docs 0-4 stand in for a benchmark set; report
+    the top-5 corpus docs per benchmark doc by bigram containment."""
+    from crawling_vectordb_llm_spark.operators.dedup import contamination_report
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") < 5)
+    corpus = d.where(F.col("doc_id") >= 5)
+    return contamination_report(corpus, bench, n=2, k=5).select(
+        "bench_id", "doc_id", F.col("rank").cast("int").alias("rank"), "containment"
+    )
