@@ -90,6 +90,60 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_similarity_join(emb, None, tau=0.35)
 
 
+@query(
+    "dedup_clusters",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.35
+), sym AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+), labels AS (
+  SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → CLUSTERS via alternating large-star/small-star
+    connected components (operators/components.py), then every vector
+    labeled with its component min (= the elected canonical id) and the
+    cluster size.  The oracle computes the same fixpoint as a recursive
+    CTE — tractable at sf0.01, where the Spark side is the O(log n)-round
+    shuffle algorithm that survives 100 TB."""
+    from pyspark.sql import Window
+
+    from crawling_vectordb_llm_spark.operators.components import (
+        connected_components,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    pairs = threshold_similarity_join(emb, None, tau=0.35).select("a_id", "b_id")
+    labels = connected_components(pairs).withColumnRenamed("node", "vec_id")
+    out = (
+        emb.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("component", "vec_id").alias("cluster_id")
+        )
+    )
+    return out.select(
+        "vec_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+    )
+
+
 @query("minhash_lsh_near_dup")
 def q_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: MinHash(32 perms) → LSH(8 bands × 4 rows) candidates →

@@ -61,3 +61,44 @@ def test_simhash_identical_texts_hamming_zero(spark):
     ham = {(r["a_id"], r["b_id"]): r["hamming"] for r in cands}
     for i in range(10):
         assert ham.get((i, i + 1000)) == 0, f"exact copies ({i},{i+1000}) hamming != 0"
+
+
+def test_connected_components_planted_topologies(spark):
+    """Chain (diameter stress), triangle, pair, and star must all resolve
+    to min-id components; singletons are the caller's left-join concern."""
+    from crawling_vectordb_llm_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = (
+        # chain 1-2-3-4-5 (worst case for naive propagation)
+        [(1, 2), (2, 3), (3, 4), (4, 5)]
+        # triangle with a redundant edge
+        + [(10, 11), (11, 12), (10, 12)]
+        # isolated pair, reversed order
+        + [(21, 20)]
+        # star centered on a non-min node
+        + [(31, 30), (31, 32), (31, 33)]
+    )
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+            10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20,
+            30: 30, 31: 30, 32: 30, 33: 30}
+    assert got == want
+
+
+def test_connected_components_empty_and_self_loops(spark):
+    from crawling_vectordb_llm_spark.operators.components import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    assert connected_components(empty).count() == 0
+    loops = spark.createDataFrame([(7, 7), (8, 9)], "a_id long, b_id long")
+    got = {r["node"]: r["component"] for r in connected_components(loops).collect()}
+    assert got == {8: 8, 9: 8}
