@@ -46,3 +46,27 @@ def l2_normalize(a: Column | str) -> Column:
     a = as_double_array(a)
     n = l2_norm(a)
     return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+
+
+def int8_scale(a: Column | str) -> Column:
+    """Per-vector symmetric int8 scale: max|x| / 127, floored at 1e-12 so
+    all-zero vectors quantize to zeros instead of dividing by zero."""
+    e = as_double_array(a)
+    return F.greatest(
+        F.array_max(F.transform(e, F.abs)) / F.lit(127.0), F.lit(1e-12)
+    )
+
+
+def int8_quantize(a: Column | str, scale: Column) -> Column:
+    """Symmetric int8 quantization: q = floor(x/scale + 0.5).
+
+    floor(+0.5) instead of round() so Spark and any SQL oracle share one
+    rounding rule (round() is HALF_UP in Spark, HALF_EVEN in DuckDB).
+    |x/scale| <= 127 by construction of the scale, so the arithmetic is
+    ANSI-safe.  At 100 TB this is the storage op that turns a 4 KB
+    float32[1024] embedding (reference dimension, TencentVDB.py:46,49)
+    into 1 KB + one float — 4x less shuffle and scan volume for ANN
+    candidate generation; rerank reads the float column for the top
+    candidates only."""
+    e = as_double_array(a)
+    return F.transform(e, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))

@@ -271,3 +271,50 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial fingerprint per document (dedup building block)."""
     d = _docs(spark, sf_dir)
     return d.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+@query(
+    "quality_band_filter",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         ROUND(0.4 * LEAST(length(text) / 500.0, 1.0)
+             + 0.4 * ROUND(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+                           / GREATEST(len(string_split(text, ' ')), 1), 6)
+             + 0.2 * (1 - ROUND(len(regexp_extract_all(text, '[0-9]'))
+                                / GREATEST(length(text), 1), 6)), 6) AS quality
+  FROM documents
+), b AS (
+  SELECT lang, quantile_cont(quality, 0.1) AS lo, quantile_cont(quality, 0.9) AS hi
+  FROM q GROUP BY lang
+)
+SELECT q.doc_id, q.lang, q.quality,
+       ROUND(b.lo, 6) AS lo6, ROUND(b.hi, 6) AS hi6
+FROM q JOIN b ON q.lang = b.lang
+WHERE q.quality BETWEEN b.lo AND b.hi
+""",
+)
+def q_quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-band gate: keep documents inside the [p10, p90]
+    exact-percentile band of the quality score — the curation step that
+    drops both garbage and boilerplate-perfect outliers before training.
+    Scale shape: one groupBy(lang) produces a tiny per-group bounds table
+    (languages number in the hundreds), broadcast back onto the corpus —
+    no window over the full data, no second shuffle."""
+    d = _docs(spark, sf_dir)
+    q = d.select("doc_id", "lang", X.quality_score("text").alias("quality"))
+    b = q.groupBy("lang").agg(
+        F.expr("percentile(quality, 0.1)").alias("lo"),
+        F.expr("percentile(quality, 0.9)").alias("hi"),
+    )
+    return (
+        q.join(F.broadcast(b), "lang")
+        .where(F.col("quality").between(F.col("lo"), F.col("hi")))
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            F.round("lo", 6).alias("lo6"),
+            F.round("hi", 6).alias("hi6"),
+        )
+    )
