@@ -1,0 +1,58 @@
+"""Streaming deduplication — dropDuplicatesWithinWatermark.
+
+The batch dedup ladder (operators/dedup.py) assumes a closed corpus; an
+ingest stream (the reference's crawl loop re-fetching pages,
+Crawling.py's url-keyed upsert) needs dedup ON the stream with bounded
+state.  `dropDuplicatesWithinWatermark` keeps one row per key and ages
+state out once the event-time watermark passes — state is O(keys per
+watermark horizon), not O(all keys ever), which is what makes the op
+viable on an unbounded 100 TB/day feed.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    parquet_path: str,
+    keys: list[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """File stream → watermark → dropDuplicatesWithinWatermark(keys) →
+    append-mode memory sink, drained with availableNow.
+
+    Returns the sink contents as a DataFrame of the key columns.  A
+    replay split across many microbatches may re-emit a key whose first
+    occurrence is older than the watermark horizon (exactly the
+    documented semantics); callers wanting a closed-corpus answer apply
+    a final batch `.distinct()` — cheap relative to the stream, and the
+    streaming op has already bounded the state.
+    """
+    from crawling_vectordb_llm_spark.catalog import normalize_event_ts
+
+    schema = spark.read.parquet(parquet_path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isfile(parquet_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(parquet_path))
+        parquet_path = os.path.dirname(parquet_path)
+    stream = (
+        normalize_event_ts(reader.load(parquet_path))
+        .select("ts", *keys)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(*keys)

@@ -6,6 +6,7 @@ must agree on final results).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from crawling_vectordb_llm_spark.catalog import read_table, table_path
 from crawling_vectordb_llm_spark.streaming import windows as W
@@ -123,3 +124,29 @@ def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (file source → watermark → windowed agg → memory sink, availableNow);
     final results must equal the batch/oracle answer."""
     return W.run_streaming_tumbling(spark, table_path(sf_dir, "events"), "1 hour")
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_keys
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+""",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-side dedup: dropDuplicatesWithinWatermark over (user_id,
+    event_type) with a 10-minute watermark (bounded state), then a batch
+    per-type count of surviving keys.  The final `.distinct()` closes the
+    multi-microbatch replay edge case documented in streaming/dedup.py —
+    on the single-batch availableNow drain it is a no-op."""
+    from crawling_vectordb_llm_spark.streaming.dedup import run_streaming_dedup
+
+    deduped = run_streaming_dedup(
+        spark, table_path(sf_dir, "events"), ["user_id", "event_type"]
+    )
+    return (
+        deduped.distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )

@@ -305,3 +305,56 @@ def q_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(corpus, bench, n=2, k=5).select(
         "bench_id", "doc_id", F.col("rank").cast("int").alias("rank"), "containment"
     )
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard_id,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard_id, n_tokens,
+       CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_off,
+       CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 2048) AS BIGINT) AS pack_bin
+FROM t
+WINDOW w AS (PARTITION BY shard_id ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing for training: docs are routed to 16
+    content-hash shards, concatenated in deterministic (doc_id) order, and
+    chunked into 2048-token context bins; each doc reports its shard,
+    starting token offset, and the bin its first token lands in.
+
+    Scale shape: the only shuffle is the hash-partition by shard; the
+    running sum is a per-shard window, so parallelism = number of shards
+    (in production: thousands of shards, each window partition fitting one
+    executor core) — never a global single-partition cumsum."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        .alias("shard_id"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        start.cast("bigint").alias("start_off"),
+        F.floor(start / 2048).cast("bigint").alias("pack_bin"),
+    )
