@@ -49,6 +49,9 @@ HEADLINE = [
     "doc_chunks",
     "quality_repetition",
     "tfidf_top_terms",
+    "dedup_clusters",
+    "sequence_packing",
+    "embedding_quantize",
 ]
 
 

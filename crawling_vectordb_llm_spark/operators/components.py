@@ -53,7 +53,12 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     out = grouped.select(
         F.explode(targets).alias("u"), m.alias("v")
     ).where(F.col("u") != F.col("v"))
-    return out.distinct()
+    # Deduplicate only after the small-star round: the large-star output
+    # feeds straight into small-star's groupBy, whose collect_set absorbs
+    # duplicates for free — a distinct() there is one wasted shuffle per
+    # round.  The small-star output must be distinct (it is the per-round
+    # edge state the fingerprint and final labels read).
+    return out.distinct() if not large else out
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
