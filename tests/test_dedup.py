@@ -102,3 +102,72 @@ def test_connected_components_empty_and_self_loops(spark):
     loops = spark.createDataFrame([(7, 7), (8, 9)], "a_id long, b_id long")
     got = {r["node"]: r["component"] for r in connected_components(loops).collect()}
     assert got == {8: 8, 9: 8}
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Seeded random graphs: the distributed star algorithm must agree
+    with a plain union-find on every node's component min."""
+    import random
+
+    from crawling_vectordb_llm_spark.operators.components import (
+        connected_components,
+    )
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = 40
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.04
+        ]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes_in_edges = {x for e in edges for x in e}
+        want = {x: find(x) for x in nodes_in_edges}
+        df = spark.createDataFrame(edges, "a_id long, b_id long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_int8_quantization_error_bound(spark):
+    """Per-element reconstruction error is <= scale/2 and quantized values
+    stay in [-127, 127] on the real embedding fixture."""
+    from pyspark.sql import functions as F
+
+    from crawling_vectordb_llm_spark.functions import vector as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = emb.select(
+        V.as_double_array("embedding").alias("e"),
+        V.int8_scale("embedding").alias("scale"),
+    )
+    d = d.withColumn("qv", V.int8_quantize(F.col("e"), F.col("scale")))
+    bad = d.where(
+        (F.array_max(F.transform("qv", F.abs)) > 127)
+        | (
+            F.array_max(
+                F.zip_with(
+                    "e", "qv", lambda x, q: F.abs(x - q * F.col("scale"))
+                )
+            )
+            > F.col("scale") / 2 + F.lit(1e-12)
+        )
+    ).count()
+    assert bad == 0
