@@ -19,8 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from crawling_vectordb_llm_spark.catalog import read_table
+from crawling_vectordb_llm_spark.operators.components import connected_components
 from crawling_vectordb_llm_spark.operators.dedup import minhash_near_dup_pairs
-from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy
+from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy, threshold_similarity_join
 from crawling_vectordb_llm_spark.session import get_spark
 from crawling_vectordb_llm_spark.streaming.windows import sessionize_batch, tumbling_agg
 
@@ -52,6 +53,16 @@ def main() -> None:
     events = read_table(spark, SF_DIR, "events")
     docs = read_table(spark, SF_DIR, "documents")
     emb = read_table(spark, SF_DIR, "embeddings")
+
+    # near-dup pair list computed ONCE at 1x; replicated per copy with id
+    # offsets so the CC input grows linearly (disjoint copy subgraphs) and
+    # the measurement isolates the iterative CC kernel, not the O(n^2)
+    # pair generation
+    base_pairs = (
+        threshold_similarity_join(emb, None, tau=0.35)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
 
     results: dict[str, dict[int, float]] = {}
     for copies in (1, 4, 16):
@@ -97,6 +108,9 @@ def main() -> None:
                 corpus_id="vec_id",
             ).count(),
             "minhash_neardup": lambda: minhash_near_dup_pairs(D, tau=0.5).count(),
+            "cc_components": lambda: connected_components(
+                replicate(base_pairs, copies, ["a_id", "b_id"])
+            ).count(),
         }
         for name, fn in cases.items():
             fn()  # warm (plan compile + page cache)
