@@ -268,3 +268,22 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         F.round(err_sum / F.size("e"), 6).alias("mean_abs_err"),
     )
+
+
+@query("quantized_knn_rerank", oracle=_KNN_ORACLE.format(nq=N_QUERIES, k=TOP_K))
+def q_quantized_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: int8 shortlist scan + exact float64 rerank
+    (operators/knn.py knn_quantized_rerank).  With a 4k shortlist the
+    rerank recovers the exact top-k on this corpus, so the EXACT-kNN
+    oracle doubles as a recall@k == 1.0 assertion — any shortlist miss
+    shows up as a hash mismatch."""
+    from crawling_vectordb_llm_spark.operators.knn import knn_quantized_rerank
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_quantized_rerank(queries, emb, k=TOP_K, corpus_id="vec_id")
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "score"
+    )
