@@ -39,3 +39,32 @@ def salted_sum_count(
         F.sum("__psum").cast("double").alias(sum_alias),
         F.sum("__pcnt").alias(count_alias),
     )
+
+
+def salted_broadcast_skew_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-proof equi-join: salt the FACT side's key, explode the DIM side
+    across all salt values, join on (key, salt).
+
+    For a shuffle join this spreads one hot key over `salt_buckets`
+    reducers instead of one; when the dim side is broadcast-able (the
+    common case here) AQE already avoids the shuffle entirely, but the
+    salted form is the portable recipe for the dim-too-big-to-broadcast
+    case — the explode costs |dim| x salt_buckets rows, bounded because a
+    dim table is the small side by definition.
+
+    Join results are identical to the unsalted join (salt matches by
+    construction); the suite oracle-checks that identity.
+    """
+    salted_facts = facts.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return salted_facts.join(salted_dim, [key, "__salt"]).drop("__salt")

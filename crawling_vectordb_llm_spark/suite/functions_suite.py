@@ -245,3 +245,38 @@ def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_user_totals(spark, table_path(sf_dir, "events"))
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(22,6))) AS DOUBLE), 6)
+         AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⨝dim join: fact keys salted across 8 buckets, dim
+    exploded per salt — the portable hot-key recipe for when the dim side
+    outgrows broadcast.  Results are identical to the plain join (the
+    oracle IS the plain join + agg)."""
+    from crawling_vectordb_llm_spark.operators.skew import (
+        salted_broadcast_skew_join,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_broadcast_skew_join(o, c, "custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(22,6)")).cast("double"), 6
+        ).alias("total_price"),
+    )
