@@ -86,3 +86,19 @@ def test_no_cartesian_products_anywhere(spark):
 def test_whole_stage_codegen_active(spark, name):
     # "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
     assert "*(1)" in plan_of(spark, name, execute=True)
+
+def test_sequence_packing_single_shuffle(spark):
+    """Packing must shuffle exactly once (hash by shard), never globally:
+    a single-partition global cumsum would be the 100 TB deathtrap."""
+    plan = plan_of(spark, "sequence_packing")
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_quality_band_bounds_broadcast(spark):
+    """The per-lang percentile bounds table must ride a broadcast back
+    onto the corpus — no full-data window, no second corpus shuffle."""
+    plan = plan_of(spark, "quality_band_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
