@@ -54,6 +54,7 @@ HEADLINE = [
     "embedding_quantize",
     "quantized_knn_rerank",
     "salted_skew_join",
+    "curation_pipeline",
 ]
 
 

@@ -20,6 +20,7 @@ from crawling_vectordb_llm_spark.catalog import table_path
 from crawling_vectordb_llm_spark.operators.chunking import chunk_documents
 from crawling_vectordb_llm_spark.operators.topk import grouped_topk
 from crawling_vectordb_llm_spark.suite.registry import query
+from crawling_vectordb_llm_spark.suite.text_suite import _STOP_SQL
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,4 +358,133 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         start.cast("bigint").alias("start_off"),
         F.floor(start / 2048).cast("bigint").alias("pack_bin"),
+    )
+
+
+@query(
+    "table_profile",
+    oracle="""
+SELECT 'o_totalprice' AS col,
+       COUNT(*) AS n_rows,
+       COUNT(o_totalprice) AS n_nonnull,
+       COUNT(DISTINCT o_totalprice) AS n_distinct,
+       ROUND(MIN(o_totalprice), 6) AS min_v,
+       ROUND(MAX(o_totalprice), 6) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       ROUND(CAST(MIN(o_custkey) AS DOUBLE), 6),
+       ROUND(CAST(MAX(o_custkey) AS DOUBLE), 6)
+FROM orders
+""",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time column profiling (rows, nulls, distinct, min/max) — the
+    stats a catalog records at write time to drive pruning and join sizing.
+    One pass per profiled column set, map-side partial aggs; at 100 TB the
+    exact distinct becomes approx_count_distinct (the rows-only
+    approx_distinct query covers that variant)."""
+    o = spark.read.parquet(table_path(sf_dir, "orders"))
+
+    def profile(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.min(col).cast("double"), 6).alias("min_v"),
+            F.round(F.max(col).cast("double"), 6).alias("max_v"),
+        )
+
+    return profile("o_totalprice").unionByName(profile("o_custkey"))
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         ROUND(0.4 * LEAST(length(text) / 500.0, 1.0)
+             + 0.4 * ROUND(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+                           / GREATEST(len(string_split(text, ' ')), 1), 6)
+             + 0.2 * (1 - ROUND(len(regexp_extract_all(text, '[0-9]'))
+                                / GREATEST(length(text), 1), 6)), 6) AS quality
+  FROM documents
+), b AS (
+  SELECT lang, quantile_cont(quality, 0.1) AS lo FROM q GROUP BY lang
+), gated AS (
+  SELECT q.* FROM q JOIN b ON q.lang = b.lang WHERE q.quality >= b.lo
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+), kept AS (
+  SELECT g.doc_id, g.lang,
+         len(string_split(g.text, ' ')) AS n_tokens,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard_id
+  FROM gated g JOIN canon c ON g.doc_id = c.doc_id
+)
+, packed AS (
+  SELECT shard_id, n_tokens,
+         CAST(floor(
+             (SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             / 2048) AS BIGINT) AS pack_bin
+  FROM kept
+)
+SELECT shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT pack_bin) AS BIGINT) AS n_bins
+FROM packed
+GROUP BY shard_id
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation flagship: quality gate (drop the sub-p10 tail
+    per language) → exact dedup (canonical = min doc_id per content hash)
+    → token count → content-hash shard routing → 2048-token sequence
+    packing, reported as per-shard (docs, tokens, bins).
+
+    Every stage is the suite's standalone operator composed declaratively,
+    so Catalyst fuses the gate+dedup into two shuffles and the
+    shard/pack stage into one more — the whole pipeline is three shuffles
+    regardless of corpus size, with the per-lang bounds broadcast."""
+    from pyspark.sql import Window
+
+    from crawling_vectordb_llm_spark.functions import text as X
+
+    d = _docs(spark, sf_dir)
+    q = d.select(
+        "doc_id", "lang", "text", X.quality_score("text").alias("quality")
+    )
+    b = q.groupBy("lang").agg(F.expr("percentile(quality, 0.1)").alias("lo"))
+    gated = q.join(F.broadcast(b), "lang").where(F.col("quality") >= F.col("lo"))
+    canon = (
+        gated.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = gated.join(canon, "doc_id").select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        .alias("shard_id"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.withColumn(
+        "pack_bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("pack_bin").cast("bigint").alias("n_bins"),
     )
