@@ -159,3 +159,67 @@ def q_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = urls.mapInPandas(_fetch, schema=crawl.with_html_column(urls))
     docs = crawl.clean_pages(crawl.extract_content(pages))
     return docs.select(F.col("link").alias("id"), "title", "text")
+
+
+@query(
+    "incremental_reembed",
+    oracle="""
+WITH batch AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN text || ' [recrawled]' ELSE text END AS text
+  FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+), delta AS (
+  SELECT b.doc_id,
+         CASE WHEN s.doc_id IS NULL THEN 'new'
+              WHEN md5(b.text) <> md5(s.text) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM batch b LEFT JOIN documents s ON b.doc_id = s.doc_id
+)
+SELECT status, COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM delta GROUP BY status
+""",
+)
+def q_incremental_reembed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh delta: classify a re-crawl batch against the
+    stored corpus as new / changed / unchanged by content hash, so the
+    embedding stage (the expensive UDF at 100 TB — the reference re-embeds
+    every upsert unconditionally, TencentVDB.py:74-79) runs ONLY on new +
+    changed rows.  The batch joins the store on the id — broadcast when the
+    batch is small (it is: deltas are a fraction of the corpus), so the
+    store is never shuffled.  The simulated batch: re-crawl of doc_id<100
+    (half with changed text) plus 20 genuinely new ids."""
+    d = spark.read.parquet(table_path(sf_dir, "documents"))
+    recrawl = d.where(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" [recrawled]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fresh = d.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    batch = recrawl.unionByName(fresh)
+    store = d.select(
+        F.col("doc_id").alias("s_id"), F.md5("text").alias("s_hash")
+    )
+    delta = (
+        F.broadcast(batch)
+        .join(store, batch["doc_id"] == store["s_id"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("s_id").isNull(), "new")
+            .when(F.md5("text") != F.col("s_hash"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+    )
+    return delta.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )
