@@ -56,3 +56,61 @@ def run_streaming_dedup(
     )
     q.awaitTermination()
     return spark.table(name).select(*keys)
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    parquet_path: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "24 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    every `left_type` event joined to same-user `right_type` events in
+    [left.ts, left.ts + horizon].
+
+    Both sides carry watermarks so the join state is bounded: the left
+    buffer ages out once right-side event time passes left.ts + horizon +
+    watermark — without the time condition the state would grow with the
+    whole stream, the classic unbounded-join mistake.  Inner join in
+    append mode emits matches as they form; on a finite availableNow
+    replay the result equals the batch interval join, which is what the
+    oracle checks.
+    """
+    from pyspark.sql import functions as F
+
+    from crawling_vectordb_llm_spark.catalog import normalize_event_ts
+
+    schema = spark.read.parquet(parquet_path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isfile(parquet_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(parquet_path))
+        parquet_path = os.path.dirname(parquet_path)
+    src = normalize_event_ts(reader.load(parquet_path))
+    left = (
+        src.where(F.col("event_type") == left_type)
+        .select(F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"))
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        src.where(F.col("event_type") == right_type)
+        .select(F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"))
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval {horizon}"
+        ),
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -150,3 +150,30 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+SELECT strftime(c.ts, '%Y-%m-%d') AS click_day, COUNT(*) AS n_pairs
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+GROUP BY 1
+""",
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks x same-user purchases within
+    24h), both sides watermarked so join state is bounded; final appended
+    matches aggregated per click day.  On the finite availableNow replay
+    the result equals the batch interval join — the oracle IS that batch
+    join."""
+    from crawling_vectordb_llm_spark.streaming.dedup import (
+        run_stream_stream_join,
+    )
+
+    pairs = run_stream_stream_join(spark, table_path(sf_dir, "events"))
+    return pairs.groupBy(
+        F.date_format("l_ts", "yyyy-MM-dd").alias("click_day")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
