@@ -61,16 +61,37 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     return out.distinct() if not large else out
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+def _fingerprint_cols() -> list:
     # decimal(38,0) sum: order-insensitive and ANSI-safe (a long sum of
     # xxhash64 values overflows by design)
-    row = edges.agg(
+    return [
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
         ).alias("h"),
-    ).first()
+    ]
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(*_fingerprint_cols()).first()
     return (row["n"], int(row["h"]))
+
+
+def _checkpoint_with_fingerprint(
+    edges: DataFrame, obs_name: str
+) -> tuple[DataFrame, tuple[int, int]]:
+    """localCheckpoint + edge fingerprint in ONE job: the fingerprint is an
+    `observe()` metric computed as a side effect of the checkpoint
+    materialization scan, not a separate aggregation action.  Falls back to
+    the two-job path if the observed metric can't be read (API drift)."""
+    observed = edges.observe(obs_name, *_fingerprint_cols())
+    cp = observed.localCheckpoint()
+    try:
+        opt = observed._jdf.queryExecution().observedMetrics().get(obs_name)
+        row = opt.get()
+        return cp, (int(str(row.get(0))), int(str(row.get(1))))
+    except Exception:
+        return cp, _fingerprint(cp)
 
 
 def connected_components(
@@ -88,17 +109,15 @@ def connected_components(
     (see `dedup_clusters` in the suite), keeping this operator a pure
     graph kernel.
     """
-    edges = (
+    canon = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
-    prev = _fingerprint(edges)
-    for _ in range(max_rounds):
-        edges = _star_round(edges, large=True)
-        edges = _star_round(edges, large=False).localCheckpoint()
-        cur = _fingerprint(edges)
+    edges, prev = _checkpoint_with_fingerprint(canon, "cc_init")
+    for i in range(max_rounds):
+        nxt = _star_round(_star_round(edges, large=True), large=False)
+        edges, cur = _checkpoint_with_fingerprint(nxt, f"cc_round_{i}")
         if cur == prev:
             break
         prev = cur
