@@ -446,10 +446,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     → token count → content-hash shard routing → 2048-token sequence
     packing, reported as per-shard (docs, tokens, bins).
 
-    Every stage is the suite's standalone operator composed declaratively,
-    so Catalyst fuses the gate+dedup into two shuffles and the
-    shard/pack stage into one more — the whole pipeline is three shuffles
-    regardless of corpus size, with the per-lang bounds broadcast."""
+    Every stage is the suite's standalone operator composed declaratively.
+    Verified plan shape (.explain): the per-lang bounds aggregate is tiny
+    and broadcasts back; dedup is one (md5, doc_id)-projection shuffle
+    with the canonical-id set joined back adaptively (broadcast at fixture
+    scale, sort-merge when the kept set outgrows it); the packing window
+    and the final per-shard aggregate SHARE one shard_id exchange.  Full
+    document rows are never shuffled — only hashes, ids, and token
+    counts."""
     from pyspark.sql import Window
 
     from crawling_vectordb_llm_spark.functions import text as X
@@ -465,13 +469,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    kept = gated.join(canon, "doc_id").select(
+    # project text down to (id, shard, tokens) BEFORE the canon join: if
+    # the kept set ever outgrows broadcast and the join degrades to
+    # sort-merge, only fixed-width columns shuffle — never document text
+    slim = gated.select(
         "doc_id",
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
         .cast("int")
         .alias("shard_id"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
+    kept = slim.join(canon, "doc_id")
     w = (
         Window.partitionBy("shard_id")
         .orderBy("doc_id")
