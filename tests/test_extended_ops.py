@@ -138,3 +138,20 @@ def test_real_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         MM.real_decode_stub(b"FKM1xxxx")
+
+
+def test_schema_of_json_inference_roundtrip(spark):
+    """SURVEY §2.5 JSON row: schema_of_json infers a literal sample's
+    schema; from_json with that DDL parses the events props column."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sample = ev.select("props").first()["props"]
+    ddl = spark.range(1).select(
+        F.schema_of_json(F.lit(sample)).alias("s")
+    ).first()["s"]
+    assert "k" in ddl
+    parsed = ev.select(F.from_json("props", ddl).alias("p")).where(
+        F.col("p.k").isNotNull()
+    )
+    assert parsed.count() > 0
