@@ -115,3 +115,55 @@ def test_default_fetcher_gated():
     except ImportError:
         with pytest.raises(NotImplementedError):
             crawl.default_fetcher()
+
+
+def test_salted_aggregation_equals_direct_on_planted_skew(spark):
+    """90% of rows on one key: the salted two-stage agg must still equal
+    the direct groupBy exactly (decimal partials keep sums bit-stable)."""
+    from pyspark.sql import functions as F
+
+    from crawling_vectordb_llm_spark.operators.skew import salted_sum_count
+
+    rows = [("hot", float(i % 7)) for i in range(9000)] + [
+        (f"k{i % 40}", float(i % 11)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(16)
+    got = {
+        r["k"]: (round(r["total"], 6), r["n"])
+        for r in salted_sum_count(df, ["k"], "v", salt_buckets=8).collect()
+    }
+    want = {
+        r["k"]: (round(r["total"], 6), r["n"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(22,6)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_text_kernels_tolerate_null_and_empty(spark):
+    """Null / empty / whitespace-only text must flow through the text
+    kernels without errors and with sane outputs (no NaN poisoning)."""
+    from pyspark.sql import functions as F
+
+    from crawling_vectordb_llm_spark.functions import text as X
+    from crawling_vectordb_llm_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one two three four")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        X.clean_text("text").alias("clean"),
+        X.token_count("text").alias("n_tok"),
+        X.quality_score("text").alias("q"),
+        word_shingles("text", 3).alias("sh"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["clean"] is None or by_id[1]["clean"] == ""
+    assert (by_id[2]["q"] is None) or (0.0 <= by_id[2]["q"] <= 1.0)
+    assert by_id[4]["n_tok"] == 4 and len(by_id[4]["sh"]) == 2
