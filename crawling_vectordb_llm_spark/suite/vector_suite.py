@@ -287,3 +287,46 @@ def q_quantized_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "score"
     )
+
+
+@query("late_interaction_search")
+def q_late_interaction_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: multi-vector (late-interaction) retrieval — documents are
+    chunked (200 chars, 50 overlap), each CHUNK hash-embedded, and a doc's
+    score for a query is the MAX over its chunk scores (ColBERT-style
+    max-pool reduced to one vector per chunk).  Long documents stop losing
+    to truncation: a match anywhere in the doc surfaces it.
+
+    Scale shape: chunk explosion is map-only; chunk scoring reuses the
+    per-partition GEMM + local-top-k combine (shuffle independent of
+    corpus size); max-pool is one (query, doc) aggregation over the
+    surviving candidates; rank-1 self-retrieval asserted in tests."""
+    from crawling_vectordb_llm_spark.embedding import make_embed_udf
+    from crawling_vectordb_llm_spark.operators.chunking import chunk_documents
+    from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    embed = make_embed_udf(dim=64)
+    chunks = chunk_documents(docs, size=200, overlap=50).select(
+        "doc_id",
+        F.concat_ws("#", F.col("doc_id"), F.col("chunk_id")).alias("chunk_key"),
+        embed(F.col("chunk_text")).alias("vector"),
+    )
+    queries = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        embed(F.substring("text", 1, 200)).alias("query_vec"),
+    )
+    # per-chunk top-64 candidates per query, then max-pool to doc level
+    hits = knn_join_numpy(
+        queries, chunks, k=64, corpus_id="chunk_key", corpus_vec="vector"
+    )
+    doc_scores = (
+        hits.withColumn(
+            "doc_id", F.split("chunk_key", "#")[0].cast("long")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.max("score"), 6).alias("doc_score"))
+    )
+    return grouped_topk(
+        doc_scores, ["query_id"], [F.desc("doc_score"), F.asc("doc_id")], 3
+    )

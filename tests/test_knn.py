@@ -72,3 +72,15 @@ def test_threshold_join_symmetric_bound(spark):
     for r in rows:
         assert r["a_id"] < r["b_id"]
         assert r["score"] >= 0.4 - 1e-9
+
+
+def test_late_interaction_rank1_self_retrieval(spark):
+    """Multi-vector max-pool retrieval: the rank-1 doc for a query built
+    from doc i's first 200 chars must be doc i itself."""
+    from crawling_vectordb_llm_spark.suite import QUERIES
+
+    rows = QUERIES["late_interaction_search"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    top = {r["query_id"]: r["doc_id"] for r in rows if r["rank"] == 1}
+    assert top == {i: i for i in range(5)}
