@@ -330,3 +330,26 @@ def q_late_interaction_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk(
         doc_scores, ["query_id"], [F.desc("doc_score"), F.asc("doc_id")], 3
     )
+
+
+@query("mmr_rerank_topk")
+def q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MMR-diversified retrieval — exact kNN top-20 candidates
+    per query, then greedy maximal-marginal-relevance pick of 5 inside
+    applyInPandas (one shuffle on query_id; the N² novelty term runs over
+    the bounded candidate set, never the corpus).  Determinism and
+    diversity-dominance are pinned in tests."""
+    from crawling_vectordb_llm_spark.operators.mmr import mmr_rerank
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = knn_join_numpy(
+        queries, emb, k=20, corpus_id="vec_id", corpus_vec="embedding"
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "score")
+    with_vecs = cands.join(
+        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vector")),
+        "doc_id",
+    )
+    return mmr_rerank(with_vecs, k=5, lam=0.7)

