@@ -353,3 +353,67 @@ def q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return mmr_rerank(with_vecs, k=5, lam=0.7)
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+WITH scored AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         b.vec_id AS neg_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS score
+  FROM embeddings a JOIN embeddings b
+    ON a.label <> b.label AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY score DESC, neg_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, anchor_label, neg_id, CAST(rank AS INT) AS rank, score
+FROM ranked WHERE rank <= 3
+""",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per anchor,
+    the top-3 most-similar vectors with a DIFFERENT label — the pairs that
+    teach a model the most.  Same broadcast-anchor × corpus scan shape as
+    filtered kNN (the label predicate prunes before scoring); ranking is
+    the standard per-group window with id tie-break."""
+    emb = _emb(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        V.as_double_array("embedding").alias("__qv"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        V.as_double_array("embedding").alias("__cv"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(
+            corpus,
+            (F.col("anchor_label") != F.col("neg_label"))
+            & (F.col("anchor_id") != F.col("neg_id")),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            F.round(V.cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+        )
+    )
+    from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+
+    return grouped_topk(
+        scored, ["anchor_id"], [F.desc("score"), F.asc("neg_id")], 3
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "neg_id",
+        F.col("rank").cast("int").alias("rank"),
+        "score",
+    )
