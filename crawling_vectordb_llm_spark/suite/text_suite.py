@@ -318,3 +318,41 @@ def q_quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("hi", 6).alias("hi6"),
         )
     )
+
+
+@query(
+    "source_quota_filter",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source,
+         ROUND(0.4 * LEAST(length(text) / 500.0, 1.0)
+             + 0.4 * ROUND(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+                           / GREATEST(len(string_split(text, ' ')), 1), 6)
+             + 0.2 * (1 - ROUND(len(regexp_extract_all(text, '[0-9]'))
+                                / GREATEST(length(text), 1), 6)), 6) AS quality
+  FROM documents
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id) AS rn
+  FROM q
+)
+SELECT doc_id, source, quality, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 15
+""",
+)
+def q_source_quota_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: keep at most the 15 highest-quality docs per
+    source — the anti-domination cap that stops one domain from flooding
+    a training mix.  One shuffle on source; ranking-window row_number is
+    rewritten by Spark into WindowGroupLimit, so each partition keeps a
+    40-row heap instead of sorting the whole group."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    q = d.select("doc_id", "source", X.quality_score("text").alias("quality"))
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        q.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 15)
+    )
+

@@ -417,3 +417,72 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         "score",
     )
+
+
+@query(
+    "context_budget_pack",
+    oracle="""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS score,
+         d.n_chars
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id <> b.vec_id
+  JOIN documents d ON d.doc_id = b.vec_id
+  WHERE a.vec_id < 5
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+), packed AS (
+  SELECT *, SUM(n_chars) OVER (PARTITION BY query_id ORDER BY rank
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum_chars
+  FROM ranked
+)
+SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score,
+       CAST(cum_chars AS BIGINT) AS cum_chars
+FROM packed WHERE cum_chars <= 6000
+""",
+)
+def q_context_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context packing under a character budget: rank retrieved docs by
+    similarity and keep the prefix whose cumulative length fits 6000 chars
+    (the reference's truncation bound, Crawling.py:45) — budget-aware
+    selection instead of the reference's blind per-doc truncate.  The
+    ranking and cumsum share one query_id shuffle."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        F.col("doc_id"), "n_chars"
+    )
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), V.as_double_array("embedding").alias("__qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("doc_id"), V.as_double_array("embedding").alias("__cv")
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(corpus, F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(V.cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+        )
+        .join(docs, "doc_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("int"))
+    wc = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranked.withColumn("cum_chars", F.sum("n_chars").over(wc).cast("bigint"))
+        .where(F.col("cum_chars") <= 6000)
+        .select("query_id", "doc_id", "rank", "score", "cum_chars")
+    )
