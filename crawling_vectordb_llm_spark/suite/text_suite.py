@@ -356,3 +356,49 @@ def q_source_quota_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 15)
     )
 
+
+
+@query(
+    "unigram_logprob_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), freq AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+), total AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq
+), scored AS (
+  SELECT t.doc_id, ln(f.c / total.n) AS lp
+  FROM toks t JOIN freq f ON t.term = f.term CROSS JOIN total
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(lp, 6) AS DECIMAL(22,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality: a unigram model estimated from the corpus
+    itself (one token aggregation), each doc scored by its mean token
+    log-probability — low scores flag gibberish, high scores flag
+    boilerplate.  The vocabulary table is small (Zipf: unique terms <<
+    tokens) and broadcasts back onto the token stream; per-token logprobs
+    are rounded to 6 dp and summed as decimals so the grouped mean is
+    order-independent and oracle-exact."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = float(freq.agg(F.sum("c")).first()[0])
+    scored = toks.join(F.broadcast(freq), "term").select(
+        "doc_id",
+        F.round(F.log(F.col("c") / F.lit(total)), 6)
+        .cast("decimal(22,6)")
+        .alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+    )
