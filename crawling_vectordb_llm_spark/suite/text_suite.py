@@ -402,3 +402,34 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+@query(
+    "quality_histogram",
+    oracle=f"""
+WITH q AS (
+  SELECT lang,
+         ROUND(0.4 * LEAST(length(text) / 500.0, 1.0)
+             + 0.4 * ROUND(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+                           / GREATEST(len(string_split(text, ' ')), 1), 6)
+             + 0.2 * (1 - ROUND(len(regexp_extract_all(text, '[0-9]'))
+                                / GREATEST(length(text), 1), 6)), 6) AS quality
+  FROM documents
+)
+SELECT lang,
+       CAST(LEAST(floor(quality * 10), 9) AS INT) AS bucket,
+       COUNT(*) AS n_docs
+FROM q GROUP BY 1, 2
+""",
+)
+def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width quality histogram per language (10 buckets over [0,1]) —
+    the distribution profile a curation run records before choosing gate
+    thresholds.  Bucketing is a map-side expression; one aggregation
+    shuffle on (lang, bucket)."""
+    d = _docs(spark, sf_dir)
+    q = d.select("lang", X.quality_score("text").alias("quality"))
+    bucket = F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("int")
+    return q.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
