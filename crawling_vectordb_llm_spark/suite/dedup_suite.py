@@ -157,3 +157,50 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash64 + banded hamming-ball candidates (<= 3 bits)."""
     sim = D.simhash64(_docs(spark, sf_dir))
     return D.simhash_near_dup_candidates(sim, max_hamming=3)
+
+
+@query(
+    "duplicate_ngram_spans",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 3),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+         )) AS grams
+  FROM documents WHERE len(string_split(text, ' ')) >= 5
+), g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM sh
+), agg AS (
+  SELECT gram, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+  FROM g GROUP BY gram HAVING COUNT(*) >= 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, gram) AS rank FROM agg
+)
+SELECT gram, n_docs, first_doc, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 50
+""",
+)
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal (Lee et al., 'Deduplicating Training
+    Data Makes Language Models Better'): 5-gram spans appearing in >= 2
+    distinct documents, ranked by document frequency — the spans a
+    substring-dedup pass would excise (vs the doc-level ladder above).
+    One explode + one aggregation; the top-50 rank is a global
+    WindowGroupLimit, not a full sort."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id", F.explode(D.word_shingles("text", 5)).alias("gram")
+    )
+    agg = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") >= 2)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_docs"), F.asc("gram"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 50)
+    )
