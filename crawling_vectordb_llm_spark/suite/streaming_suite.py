@@ -177,3 +177,55 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.date_format("l_ts", "yyyy-MM-dd").alias("click_day")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "event_funnel",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS ts
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.ts
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS ts
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM c) AS n_click_after,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after
+""",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then clicked AFTER the signup,
+    then purchased AFTER that click (first-occurrence semantics per
+    stage).  Each stage is one aggregation joined forward on (user, ts >
+    prev_ts) — the per-user event sets are small, so the stage joins
+    shuffle only (user_id, ts) pairs, never the event payload."""
+    ev = read_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
