@@ -35,3 +35,61 @@ def test_sessionize_gap_splits(spark):
     rows = W.sessionize_batch(df, gap_seconds=1800).collect()
     sessions = {(r["user_id"], r["session_id"]): r["n_events"] for r in rows}
     assert sessions == {(100, 1): 2, (100, 2): 1, (200, 1): 1}
+
+
+def test_foreach_batch_incremental_upsert(spark, tmp_path):
+    """Streaming ingest -> foreachBatch merge into a parquet store: the
+    final store equals a batch last-writer-wins dedup of the whole feed.
+    This is the crawl->store wiring at scale: each micro-batch merges
+    against the store instead of accumulating an unbounded union."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crawling_vectordb_llm_spark.catalog import normalize_event_ts
+    from crawling_vectordb_llm_spark.operators.merge import upsert_by_key
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    store = str(tmp_path / "store")
+    schema = spark.read.parquet(src).schema
+    reader = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", os.path.basename(src))
+    )
+    stream = normalize_event_ts(reader.load(os.path.dirname(src))).select(
+        "user_id", "event_type", "ts"
+    )
+
+    def merge_batch(batch_df, batch_id):
+        batch_df = batch_df.withColumn(
+            "key", F.concat_ws("#", "user_id", "event_type")
+        )
+        if os.path.exists(store):
+            existing = batch_df.sparkSession.read.parquet(store)
+            merged = upsert_by_key(existing, batch_df, "key")
+        else:
+            merged = batch_df.dropDuplicates(["key"])
+        merged.write.mode("overwrite").parquet(store + "_next")
+        # atomic-ish swap for the test; a real sink uses a txn layer
+        import shutil
+
+        if os.path.exists(store):
+            shutil.rmtree(store)
+        os.rename(store + "_next", store)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(store).count()
+    want = (
+        spark.read.parquet(src)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got == want
