@@ -204,3 +204,29 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 50)
     )
+
+
+@query("minhash_dedup_clusters")
+def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the full text-dedup resolution path — MinHash → LSH
+    candidates → exact-Jaccard verify (tau=0.2) → connected components →
+    every doc labeled (cluster canonical = min doc_id, keep flag).  This
+    is the pipeline a 100 TB corpus actually runs end-to-end; the
+    embedding-side dedup_clusters twin is the oracle-checked variant of
+    the same CC kernel."""
+    from crawling_vectordb_llm_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(docs, tau=0.2).select("a_id", "b_id")
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")))
+    )

@@ -171,3 +171,19 @@ def test_int8_quantization_error_bound(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_minhash_dedup_clusters_planted_copies_share_cluster(spark):
+    """Planted exact copies (i, i+1000) and light mutations (i, i+2000)
+    must land in the same cluster with the min id canonical."""
+    from crawling_vectordb_llm_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = _docs_with_planted_dups(spark)
+    pairs = D.minhash_near_dup_pairs(docs, tau=0.5).select("a_id", "b_id")
+    labels = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    for i in range(10):
+        assert labels.get(i + 1000) == labels.get(i) == i
