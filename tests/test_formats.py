@@ -47,3 +47,34 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # content identical modulo partition-column position
     cols = docs.columns
     assert _sorted_rows(back.select(*cols)) == _sorted_rows(docs)
+
+
+def test_shard_partitioned_sorted_write_layout(spark, tmp_path):
+    """Training-shard write path: repartition by content-hash shard,
+    sort within partitions, write partitioned by shard — reads of one
+    shard prune all other directories (PartitionFilters), and rows
+    inside each file are doc_id-ordered for sequential packing."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "shards")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        .alias("shard_id")
+    )
+    (
+        docs.select("doc_id", "text", shard)
+        .repartition("shard_id")
+        .sortWithinPartitions("doc_id")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    one = spark.read.parquet(out).where(F.col("shard_id") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard_id" in plan
+    ids = [r["doc_id"] for r in one.collect()]
+    assert ids == sorted(ids)
+    full = spark.read.parquet(out)
+    assert full.count() == docs.count()
