@@ -1,0 +1,89 @@
+"""Versioned collection storage — snapshot isolation on plain parquet.
+
+The reference declares EVENTUAL read consistency client-wide
+(TencentVDB.py:18-19) and upserts in place; a batch engine can do better
+with zero extra infrastructure: every write lands in a fresh `v=N`
+directory and a tiny `_LATEST` pointer file flips atomically (os.replace)
+after the data is fully written.  Readers resolve the pointer once and
+then scan an immutable directory — a reader that started on v3 keeps a
+consistent snapshot while v4 lands, which is exactly the J4 semantics the
+reference outsources to its service.
+
+At scale this is the poor-man's core of Delta/Iceberg: directory-level
+MVCC with last-write-wins pointer flips.  What it deliberately does NOT
+provide: concurrent-WRITER conflict detection (two simultaneous writers
+race on the pointer) — single-writer pipelines (the crawl->upsert loop)
+are the intended regime; a lock/txn layer is the upgrade path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_LATEST"
+
+
+def _versions(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+
+
+def versioned_write(df: DataFrame, path: str) -> int:
+    """Write `df` as the next version of the collection at `path`; returns
+    the new version number.  The `_LATEST` pointer flips only after the
+    parquet write completes, so a crash mid-write leaves the previous
+    version live and the partial directory orphaned (vacuumable)."""
+    os.makedirs(path, exist_ok=True)
+    version = (_versions(path)[-1] + 1) if _versions(path) else 1
+    vdir = os.path.join(path, f"v={version}")
+    df.write.mode("overwrite").parquet(vdir)
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._latest_")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(path, _POINTER))  # atomic pointer flip
+    return version
+
+
+def latest_version(path: str) -> int | None:
+    p = os.path.join(path, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned version (time travel) or the pointer's current one.
+    The returned DataFrame scans an immutable directory — later writes
+    never change what this reader sees."""
+    v = version if version is not None else latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no versions at {path}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def list_versions(path: str) -> list[int]:
+    return _versions(path)
+
+
+def vacuum(path: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest `keep` versions (never the pointer target).
+    Returns the removed version numbers."""
+    import shutil
+
+    vs = _versions(path)
+    live = latest_version(path)
+    removable = [v for v in vs[:-keep] if v != live] if len(vs) > keep else []
+    for v in removable:
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return removable

@@ -1,0 +1,34 @@
+"""Versioned collection storage: snapshot isolation (J4) on plain parquet."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark import versioning as V
+
+
+def test_versioned_write_read_and_snapshot_isolation(spark, tmp_path):
+    path = str(tmp_path / "coll")
+    d1 = spark.range(10).withColumn("val", F.lit("a"))
+    assert V.versioned_write(d1, path) == 1
+    reader_v1 = V.read_version(spark, path)  # pins v=1 directory
+
+    d2 = spark.range(20).withColumn("val", F.lit("b"))
+    assert V.versioned_write(d2, path) == 2
+
+    # the pinned reader still sees the v1 snapshot after v2 landed
+    assert reader_v1.count() == 10
+    assert V.read_version(spark, path).count() == 20
+    assert V.read_version(spark, path, version=1).count() == 10  # time travel
+    assert V.list_versions(path) == [1, 2]
+    assert V.latest_version(path) == 2
+
+
+def test_vacuum_keeps_latest_and_respects_keep(spark, tmp_path):
+    path = str(tmp_path / "coll")
+    for i in range(4):
+        V.versioned_write(spark.range(i + 1), path)
+    removed = V.vacuum(path, keep=2)
+    assert removed == [1, 2]
+    assert V.list_versions(path) == [3, 4]
+    assert V.read_version(spark, path).count() == 4
