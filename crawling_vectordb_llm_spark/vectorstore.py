@@ -69,16 +69,28 @@ class VectorCollection:
         return os.path.join(self.path, "ivf_assignment")
 
     def exists(self) -> bool:
-        return os.path.exists(self._table)
+        from crawling_vectordb_llm_spark import versioning as V
 
-    def documents(self) -> DataFrame:
-        return self.spark.read.parquet(self._table)
+        return V.latest_version(self._table) is not None
+
+    def documents(self, version: int | None = None) -> DataFrame:
+        """Current (or pinned — time travel) snapshot of the collection."""
+        from crawling_vectordb_llm_spark import versioning as V
+
+        return V.read_version(self.spark, self._table, version)
 
     # ------------------------------------------------------------ writes
 
     def upsert(self, docs: DataFrame, build_index: bool = True) -> None:
         """Embed-on-write + merge-by-id (last writer wins), then optional
-        index artifact rebuild — the TencentVDB.py:63-79 contract, bulk."""
+        index artifact rebuild — the TencentVDB.py:63-79 contract, bulk.
+
+        The merge reads version N and writes version N+1 directly
+        (versioning.py): no staging double-write — the old version stays
+        immutable under concurrent readers until the pointer flips, which
+        is also what lets the merge read its own input safely."""
+        from crawling_vectordb_llm_spark import versioning as V
+
         incoming = (
             docs.withColumn("vector", self._embed_udf(F.col("text")))
             .withColumn("vector", l2_normalize("vector").cast("array<float>"))
@@ -87,10 +99,7 @@ class VectorCollection:
             merged = upsert_by_key(self.documents(), incoming, key="id")
         else:
             merged = incoming.dropDuplicates(["id"])
-        tmp = self._table + ".staging"
-        merged.repartition(self.shards, "id").write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self._table)
+        V.versioned_write(merged.repartition(self.shards, "id"), self._table)
         if build_index:
             self.build_index()
 
