@@ -486,3 +486,92 @@ def q_context_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_chars") <= 6000)
         .select("query_id", "doc_id", "rank", "score", "cum_chars")
     )
+
+
+@query(
+    "similarity_pagerank",
+    oracle="""
+WITH nodes AS (SELECT vec_id AS id FROM embeddings),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.35
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT a AS u, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY a),
+r0 AS (SELECT id, 1.0 / cnt AS r FROM nodes CROSS JOIN n),
+c1 AS (SELECT e.b AS id, CAST(floor(r0.r / deg.d * 1e9 + 0.5) AS BIGINT) AS c
+       FROM edges e JOIN r0 ON e.a = r0.id JOIN deg ON deg.u = e.a),
+s1 AS (SELECT id, CAST(SUM(c) AS BIGINT) AS s FROM c1 GROUP BY id),
+r1 AS (SELECT nodes.id, 0.15 / cnt + 0.85 * (COALESCE(s1.s, 0) / 1e9) AS r
+       FROM nodes CROSS JOIN n LEFT JOIN s1 ON s1.id = nodes.id),
+c2 AS (SELECT e.b AS id, CAST(floor(r1.r / deg.d * 1e9 + 0.5) AS BIGINT) AS c
+       FROM edges e JOIN r1 ON e.a = r1.id JOIN deg ON deg.u = e.a),
+s2 AS (SELECT id, CAST(SUM(c) AS BIGINT) AS s FROM c2 GROUP BY id),
+r2 AS (SELECT nodes.id, 0.15 / cnt + 0.85 * (COALESCE(s2.s, 0) / 1e9) AS r
+       FROM nodes CROSS JOIN n LEFT JOIN s2 ON s2.id = nodes.id),
+c3 AS (SELECT e.b AS id, CAST(floor(r2.r / deg.d * 1e9 + 0.5) AS BIGINT) AS c
+       FROM edges e JOIN r2 ON e.a = r2.id JOIN deg ON deg.u = e.a),
+s3 AS (SELECT id, CAST(SUM(c) AS BIGINT) AS s FROM c3 GROUP BY id)
+SELECT nodes.id AS vec_id,
+       CAST(floor((0.15 / cnt + 0.85 * (COALESCE(s3.s, 0) / 1e9)) * 1e6 + 0.5)
+            AS BIGINT) AS pr_e6
+FROM nodes CROSS JOIN n LEFT JOIN s3 ON s3.id = nodes.id
+""",
+)
+def q_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank-style centrality over the similarity graph: 3 power
+    iterations of PageRank (damping 0.85) on the tau=0.35 cosine graph —
+    high-rank vectors sit in dense similarity neighborhoods, the
+    representativeness signal behind centrality-based canonical election.
+
+    Cross-engine exactness for an ITERATIVE float algorithm: per-edge
+    contributions are fixed-pointed to integer nano-units via
+    floor(x*1e9 + 0.5) (identical IEEE ops in both engines, unlike
+    ROUND(double)), summed as integers (order-free), and the final rank is
+    emitted in micro-units — the oracle unrolls the same 3 iterations as
+    CTEs and matches bit-for-bit.
+    Scale shape: each iteration is one edge-side join against the rank
+    table (broadcast — ranks are one row per node, dwarfed by edges) plus
+    one aggregation shuffle on the destination id."""
+    emb = _emb(spark, sf_dir)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    n = nodes.count()
+    pairs = threshold_similarity_join(emb, None, tau=0.35).select("a_id", "b_id")
+    edges = pairs.select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    ).unionAll(pairs.select(F.col("b_id").alias("a"), F.col("a_id").alias("b")))
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy(F.col("a").alias("u")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    r = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(3):
+        # fixed-point nano-unit contributions: floor(x*1e9 + 0.5) is the
+        # same IEEE op sequence in both engines (ROUND(double) is not —
+        # BigDecimal-exact vs multiply-based implementations disagree on
+        # the .5 boundaries this very rounding manufactures)
+        contrib = (
+            edges.join(F.broadcast(r), edges["a"] == r["id"])
+            .join(F.broadcast(deg), edges["a"] == deg["u"])
+            .select(
+                F.col("b").alias("id"),
+                F.floor(F.col("r") / F.col("d") * F.lit(1e9) + F.lit(0.5))
+                .cast("bigint")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("id").agg(F.sum("c").cast("bigint").alias("s"))
+        r = nodes.join(sums, "id", "left").select(
+            "id",
+            (
+                F.lit(0.15 / n)
+                + F.lit(0.85) * (F.coalesce("s", F.lit(0)) / F.lit(1e9))
+            ).alias("r"),
+        )
+    return r.select(
+        F.col("id").alias("vec_id"),
+        F.floor(F.col("r") * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("pr_e6"),
+    )
