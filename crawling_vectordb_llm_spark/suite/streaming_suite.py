@@ -229,3 +229,74 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
     )
+
+
+@query(
+    "window_anomaly_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS w, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, w, n,
+         SUM(n) OVER f AS s,
+         SUM(n * n) OVER f AS sq,
+         COUNT(*) OVER f AS c
+  FROM hourly
+  WINDOW f AS (PARTITION BY event_type ORDER BY w
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, n,
+       CAST(floor(
+         (n - s / CAST(c AS DOUBLE))
+         / sqrt((sq - s * s / CAST(c AS DOUBLE)) / (c - 1) + 1e-9)
+         * 1000 + 0.5) AS BIGINT) AS z_e3
+FROM stats
+WHERE c >= 12
+  AND abs((n - s / CAST(c AS DOUBLE))
+          / sqrt((sq - s * s / CAST(c AS DOUBLE)) / (c - 1) + 1e-9)) > 2
+""",
+)
+def q_window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: hourly event counts per type, z-scored
+    against the trailing 24 windows (frame excludes the current row), flag
+    |z| > 2.  Determinism: the rolling moments are INTEGER sums over the
+    frame (order-free, exact); mean/variance derive from them with
+    identical double ops in both engines; z is emitted in milli-units via
+    floor fixed-point (FIXTURES.md rule).  One shuffle for the hourly agg,
+    one keyed window pass."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("w")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "w",
+        "n",
+        F.sum("n").over(f).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(f).alias("sq"),
+        F.count(F.lit(1)).over(f).alias("c"),
+    )
+    mean = F.col("s") / F.col("c").cast("double")
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("c").cast("double")) / (
+        F.col("c") - 1
+    )
+    z = (F.col("n") - mean) / F.sqrt(var + F.lit(1e-9))
+    return (
+        stats.where(F.col("c") >= 12)
+        .where(F.abs(z) > 2)
+        .select(
+            "event_type",
+            F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            F.floor(z * 1000 + F.lit(0.5)).cast("bigint").alias("z_e3"),
+        )
+    )
