@@ -112,6 +112,25 @@ class VectorCollection:
             self._assignment
         )
 
+    def delete(self, ids: list[str], build_index: bool = False) -> int:
+        """Delete-by-id (the CRUD op the reference approximates with
+        upsert-overwrite): anti-join against the current snapshot, write
+        the survivors as the next version.  Returns the new version —
+        readers pinned to older versions still see the deleted rows, so
+        a delete is also an auditable event, not a destructive rewrite."""
+        from crawling_vectordb_llm_spark import versioning as V
+
+        ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
+        survivors = self.documents().join(
+            F.broadcast(ids_df), "id", "left_anti"
+        )
+        v = V.versioned_write(
+            survivors.repartition(self.shards, "id"), self._table
+        )
+        if build_index:
+            self.build_index()
+        return v
+
     # ------------------------------------------------------------ search
 
     def search_by_text(

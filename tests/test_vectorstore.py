@@ -83,3 +83,20 @@ def test_search_results_with_docs(spark, tmp_path):
     enriched = coll.search_results_with_docs(hits)
     assert enriched.count() == 3
     assert {"text", "lang", "rank", "score"} <= set(enriched.columns)
+
+def test_delete_by_id_versions_and_preserves_old_snapshot(spark, tmp_path):
+    from crawling_vectordb_llm_spark.vectorstore import VectorCollection
+
+    coll = VectorCollection(spark, str(tmp_path / "c"), dim=16, shards=2)
+    docs = spark.createDataFrame(
+        [(f"u{i}", f"text number {i} alpha beta", f"t{i}") for i in range(10)],
+        "id string, text string, title string",
+    )
+    coll.upsert(docs, build_index=False)
+    before = coll.documents()  # pins version 1
+    v = coll.delete(["u3", "u7"])
+    assert v == 2
+    remaining = {r["id"] for r in coll.documents().select("id").collect()}
+    assert remaining == {f"u{i}" for i in range(10)} - {"u3", "u7"}
+    # pinned pre-delete snapshot still contains the deleted rows
+    assert before.count() == 10
