@@ -55,6 +55,8 @@ HEADLINE = [
     "quantized_knn_rerank",
     "salted_skew_join",
     "curation_pipeline",
+    "similarity_pagerank",
+    "window_anomaly_zscore",
 ]
 
 
