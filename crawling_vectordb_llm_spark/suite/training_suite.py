@@ -496,3 +496,67 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.countDistinct("pack_bin").cast("bigint").alias("n_bins"),
     )
+
+
+@query(
+    "bin_render_hash",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard_id,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, text, shard_id,
+         CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 2048) AS BIGINT) AS pack_bin
+  FROM t
+  WINDOW w AS (PARTITION BY shard_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT shard_id, pack_bin,
+       COUNT(*) AS n_docs,
+       md5(string_agg(text, '<|doc|>' ORDER BY doc_id)) AS blob_md5
+FROM packed GROUP BY shard_id, pack_bin
+""",
+)
+def q_bin_render_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the packed training bins: docs of each (shard, bin)
+    joined in doc_id order with a separator token — the blob a shard
+    writer emits.  Output carries the blob's md5 instead of the blob
+    (cheap compare, same guarantee: one byte off anywhere flips the hash).
+    Ordered group concat uses the sort-inside-collect_list struct pattern
+    (SURVEY §7 hard part (a)) — order comes from array_sort, never from
+    shuffle arrival order."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        "text",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        .alias("shard_id"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.withColumn(
+        "pack_bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast(
+            "bigint"
+        ),
+    )
+    grouped = packed.groupBy("shard_id", "pack_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "text"))
+        ).alias("docs"),
+    )
+    blob = F.array_join(F.transform("docs", lambda s: s["text"]), "<|doc|>")
+    return grouped.select(
+        "shard_id", "pack_bin", "n_docs", F.md5(blob).alias("blob_md5")
+    )
