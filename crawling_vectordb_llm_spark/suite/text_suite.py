@@ -433,3 +433,41 @@ def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy("lang", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query("compression_ratio_quality")
+def q_compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: zlib compression ratio per document — highly repetitive
+    or templated text compresses far below natural prose, a cheap
+    model-free quality/repetition signal (used alongside the Gopher rules).
+    Python stage by necessity (no JVM zlib expression), but Arrow-batched:
+    one mapInPandas pass, compression in C, no per-row Python overhead.
+    Bounds and monotonicity are pinned in tests."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "text").mapInPandas(
+        compression_ratio_kernel(), schema="doc_id long, n_chars long, ratio_e6 long"
+    )
+
+
+def compression_ratio_kernel():
+    """Arrow-batch kernel: zlib-compressed size / raw size in micro-units."""
+    import zlib
+
+    import pandas as pd
+
+    def _ratio(batches):
+        for pdf in batches:
+            texts = pdf["text"].fillna("")
+            raw = texts.str.len().clip(lower=1)
+            comp = [len(zlib.compress(t.encode("utf-8"), 6)) for t in texts]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": raw.astype("int64"),
+                    "ratio_e6": (
+                        pd.Series(comp, index=texts.index) / raw * 1_000_000
+                    ).astype("int64"),
+                }
+            )
+
+    return _ratio

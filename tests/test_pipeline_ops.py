@@ -167,3 +167,37 @@ def test_text_kernels_tolerate_null_and_empty(spark):
     assert by_id[1]["clean"] is None or by_id[1]["clean"] == ""
     assert (by_id[2]["q"] is None) or (0.0 <= by_id[2]["q"] <= 1.0)
     assert by_id[4]["n_tok"] == 4 and len(by_id[4]["sh"]) == 2
+
+
+def test_compression_ratio_flags_repetition(spark):
+    """A highly repetitive doc must compress far better (lower ratio) than
+    varied text; ratios are positive and deterministic across runs."""
+    from crawling_vectordb_llm_spark.suite import QUERIES
+
+    rows1 = QUERIES["compression_ratio_quality"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    rows2 = QUERIES["compression_ratio_quality"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    assert all(r["ratio_e6"] > 0 for r in rows1)
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 200), (2, " ".join(f"w{i}x{i*7%13}" for i in range(200)))],
+        "doc_id long, text string",
+    )
+    from crawling_vectordb_llm_spark.suite.text_suite import (
+        compression_ratio_kernel,
+    )
+
+    out = {
+        r["doc_id"]: r["ratio_e6"]
+        for r in df.select("doc_id", "text")
+        .mapInPandas(
+            compression_ratio_kernel(),
+            schema="doc_id long, n_chars long, ratio_e6 long",
+        )
+        .collect()
+    }
+    assert out[1] < out[2] / 3  # repetition compresses dramatically better
