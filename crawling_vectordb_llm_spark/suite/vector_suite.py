@@ -575,3 +575,34 @@ def q_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id"),
         F.floor(F.col("r") * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("pr_e6"),
     )
+
+
+@query("cross_encoder_rerank")
+def q_cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the precision tier of the retrieval stack — hash-embed
+    kNN produces a top-10 shortlist per query, then the cross-encoder
+    pandas_udf (deterministic token-overlap stand-in; real model plugs in
+    at the same seam) scores each (query, doc) PAIR and the blended score
+    re-ranks.  Pairwise cost is |queries| x k, never the corpus."""
+    from crawling_vectordb_llm_spark.plans.rerank import cross_encoder_rerank
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    embed = make_embed_udf(dim=64)
+    emb = docs.select("doc_id", "text", embed(F.col("text")).alias("vector"))
+    queries = emb.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+        F.col("vector").alias("query_vec"),
+    )
+    hits = knn_join_numpy(
+        queries, emb, k=10, corpus_id="doc_id", corpus_vec="vector"
+    )
+    shortlist = (
+        hits.join(
+            docs.select("doc_id", F.col("text").alias("doc_text")), "doc_id"
+        ).join(queries.select("query_id", "query_text"), "query_id")
+    )
+    out = cross_encoder_rerank(shortlist)
+    return out.select(
+        "query_id", "doc_id", "score", "ce_score", "blended", "ce_rank"
+    )

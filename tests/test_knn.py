@@ -108,3 +108,21 @@ def test_mmr_rerank_properties(spark):
         assert first["score"] == max(r["score"] for r in rows)
         # self-retrieval: rank-1 for query q is vector q itself
         assert first["doc_id"] == q
+
+
+def test_cross_encoder_rerank_self_retrieval_and_determinism(spark):
+    """The blended rank-1 for query-from-doc-i must be doc i (retrieval
+    score 1.0 and perfect token overlap), and reruns are identical."""
+    from crawling_vectordb_llm_spark.suite import QUERIES
+
+    def run():
+        return QUERIES["cross_encoder_rerank"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+
+    a, b = run(), run()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    top = {r["query_id"]: r for r in a if r["ce_rank"] == 1}
+    for q, r in top.items():
+        assert r["doc_id"] == q
+        assert r["ce_score"] == 1.0
