@@ -201,3 +201,37 @@ def test_compression_ratio_flags_repetition(spark):
         .collect()
     }
     assert out[1] < out[2] / 3  # repetition compresses dramatically better
+
+
+def test_char_ops_handle_cjk_and_emoji(spark):
+    """The reference corpus is Chinese (Crawling.py targets Chinese docs;
+    truncation bounds are CHARACTER counts).  Char-based ops must count
+    code points, not bytes, and survive text with no spaces."""
+    from pyspark.sql import functions as F
+
+    from crawling_vectordb_llm_spark.functions import text as X
+    from crawling_vectordb_llm_spark.operators.chunking import chunk_documents
+
+    zh = "数据库向量检索系统支持中文文档的嵌入与相似度搜索" * 20  # 480 chars, no spaces
+    df = spark.createDataFrame(
+        [(1, zh), (2, "mixed 中文 and english 🙂 tokens here")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        X.clean_text("text").alias("clean"),
+        X.token_count("text").alias("n_tok"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_chars"] == 480  # code points, not UTF-8 bytes (1440)
+    assert len(by_id[1]["clean"]) == 480
+    assert by_id[2]["n_tok"] == 7
+
+    chunks = chunk_documents(df.where("doc_id = 1"), size=200, overlap=50)
+    rows = chunks.collect()
+    # 480 chars, step 150 -> starts at 0,150,300,450 -> 4 chunks
+    assert len(rows) == 4
+    assert all(len(r["chunk_text"]) <= 200 for r in rows)
+    # chunk boundaries slice code points cleanly (no mojibake replacement)
+    assert "�" not in "".join(r["chunk_text"] for r in rows)
