@@ -118,6 +118,40 @@ def sample_frames(
     )
 
 
+def resize_media(
+    media_df: DataFrame, factor: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize stage: nearest-neighbor downsample of the payload grid by
+    `factor` along both axes, re-encoded as a valid FKM1 blob with updated
+    header dims.  The numpy strided slice is the stand-in for a real
+    interpolating resize (PIL/torchvision seam, real_decode_stub); the
+    Spark plumbing — binary in, binary out, Arrow batches, header rewrite
+    — is exactly what a production thumbnailing pass does."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            ws, hs = [], []
+            for blob in pdf["media"]:
+                b = bytes(blob)
+                w, h, kind = struct.unpack("<HHB", b[4:9])
+                grid = np.frombuffer(b[9 : 9 + w * h], dtype=np.uint8).reshape(h, w)
+                small = grid[::factor, ::factor]
+                nh, nw = small.shape
+                out.append(
+                    MAGIC + struct.pack("<HHB", nw, nh, kind) + small.tobytes()
+                )
+                ws.append(nw)
+                hs.append(nh)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "media": out, "width": ws, "height": hs}
+            )
+
+    return media_df.select(id_col, "media").mapInPandas(
+        _resize, schema=f"{id_col} long, media binary, width int, height int"
+    )
+
+
 def real_decode_stub(blob: bytes):
     """The seam where a real decoder plugs in.  Raises unless PIL exists
     (it doesn't in this container — by design, see module docstring)."""

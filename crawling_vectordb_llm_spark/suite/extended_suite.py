@@ -376,3 +376,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_topk(queries, emb, k=10, n_centroids=16, n_probe=4)
+
+
+@query("multimodal_resize")
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the resize stage of the multimodal pipeline — synth
+    media blobs downsampled 2x (nearest-neighbor stand-in at the real
+    decoder seam), headers rewritten, then the resized metadata re-decoded
+    to prove the output blobs are themselves valid inputs (op closure:
+    resize o decode = decode o resize on dims)."""
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    media = MM.synth_media(docs)
+    resized = MM.resize_media(media, factor=2)
+    meta = MM.decode_media_meta(resized.select("doc_id", "media"))
+    return meta.join(
+        resized.select("doc_id", F.col("width").alias("w_out")), "doc_id"
+    )

@@ -155,3 +155,26 @@ def test_schema_of_json_inference_roundtrip(spark):
         F.col("p.k").isNotNull()
     )
     assert parsed.count() > 0
+
+
+def test_multimodal_resize_halves_dims_and_stays_decodable(spark):
+    from pyspark.sql import functions as F
+
+    from crawling_vectordb_llm_spark.sources import multimodal as MM
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(20)
+    media = MM.synth_media(docs)
+    orig = {r["doc_id"]: r for r in MM.decode_media_meta(media).collect()}
+    resized = MM.resize_media(media, factor=2)
+    re_meta = {
+        r["doc_id"]: r
+        for r in MM.decode_media_meta(resized.select("doc_id", "media")).collect()
+    }
+    for i, o in orig.items():
+        r = re_meta[i]
+        assert r["width"] == (o["width"] + 1) // 2
+        assert r["height"] == (o["height"] + 1) // 2
+        assert r["kind"] == o["kind"]
+        assert r["payload_bytes"] == r["width"] * r["height"]
