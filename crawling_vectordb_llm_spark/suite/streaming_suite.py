@@ -300,3 +300,51 @@ def q_window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(z * 1000 + F.lit(0.5)).cast("bigint").alias("z_e3"),
         )
     )
+
+
+@query(
+    "rolling_distinct_users",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, user_id
+  FROM events GROUP BY 1, 2, 3
+), days AS (
+  SELECT DISTINCT event_type, d FROM daily
+)
+SELECT days.event_type, strftime(days.d, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT daily.user_id) AS uniq_users_7d
+FROM days JOIN daily
+  ON daily.event_type = days.event_type
+ AND daily.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.event_type, days.d
+""",
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per event type.  Spark windows don't
+    support COUNT(DISTINCT ...) OVER; the idiomatic bridge is collect_set
+    over the frame and size() — set state is bounded by distinct keys in
+    the window, which is the same state a native distinct-window would
+    hold.  Pre-aggregating to (type, day, user) first keeps the windowed
+    rows to distinct triples, not raw events."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    # rangeBetween over unix days: 6 days back through current
+    with_day = daily.withColumn("day_n", F.datediff("d", F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_n")
+        .rangeBetween(-6, 0)
+    )
+    rolled = with_day.withColumn(
+        "uniq_users_7d", F.size(F.collect_set("user_id").over(w)).cast("bigint")
+    )
+    return (
+        rolled.groupBy(
+            "event_type", F.date_format("d", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.max("uniq_users_7d").alias("uniq_users_7d"))
+    )
