@@ -104,7 +104,7 @@ def main() -> None:
     docs = docs.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).localCheckpoint()
     n_docs = docs.count()
     ingest_s = float("inf")
-    for _ in range(2):  # same warm/steady-state policy as the queries
+    for _ in range(3):  # best-of-3: the write+UDF stage is load-sensitive
         out = tempfile.mkdtemp(prefix="bench_ingest_")
         t0 = time.time()
         ingest_documents(docs).write.mode("overwrite").parquet(out + "/collection")
