@@ -296,12 +296,40 @@ def knn_quantized_rerank(
     ).select(query_id, corpus_id)
 
     # stage 2: exact float64 rerank on the shortlist only
+    return knn_rerank_shortlist(
+        cand, queries, corpus, k,
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec, score_col=score_col,
+    )
+
+
+def knn_rerank_shortlist(
+    candidates: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "doc_id",
+    corpus_vec: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact float64 cosine rerank of a (query_id, corpus_id) candidate set.
+
+    The shared stage 2 of every two-stage ANN operator (int8
+    `knn_quantized_rerank`, product-quantized `pq.pq_knn_rerank`): join the
+    shortlist — never the corpus — back to full-precision vectors, score
+    JVM-side, keep top-k per query with deterministic (score DESC, id ASC)
+    ties.  Full-precision reads are proportional to the shortlist size, so
+    the stage costs the same whether the corpus is 1 GB or 100 TB.
+    """
     qv = F.broadcast(
         queries.select(F.col(query_id), V.as_double_array(query_vec).alias("__qv"))
     )
     cv = corpus.select(F.col(corpus_id), V.as_double_array(corpus_vec).alias("__cv"))
     exact = (
-        cand.join(cv, corpus_id)
+        candidates.select(query_id, corpus_id)
+        .join(cv, corpus_id)
         .join(qv, query_id)
         .select(
             query_id,

@@ -1,0 +1,222 @@
+"""Product quantization (PQ) — the memory-bound ANN scale path.
+
+The reference delegates ANN to the service's HNSW index over float vectors
+(TencentVDB.py:46: dim=1024 float, HNSW m=16).  At 100 TB a float32 corpus
+is often too large to even scan per query batch; product quantization
+(Jegou et al., "Product Quantization for Nearest Neighbor Search", PAMI
+2011 — the IVF-PQ design used by FAISS) compresses each vector to
+`m_subvectors` one-byte codes: 64-d float32 (256 B) -> 8 B at m=8, a 32x
+scan-size reduction, with exact top-k restored by a float rerank of the
+shortlisted candidates only.
+
+Shape (mirrors operators/knn.knn_quantized_rerank, which is the scalar-
+quantization sibling):
+
+  train   — per-subspace k-means codebooks on a driver-side sample
+            (deterministic seeded Lloyd's; FAISS-style bounded sample).
+  encode  — one mapInPandas pass: argmin ||sub - code||^2 per subspace,
+            emits `codes array<int>` (the 100 TB table stores ONLY this +
+            id; 8 bytes/row payload).
+  search  — ADC (asymmetric distance computation): per query build an
+            (m x n_codes) lookup table of partial dot products against the
+            UNquantized query, then approx_score = sum of m table lookups
+            per candidate — no float vector reads.  Per-partition
+            shortlist, then exact float64 cosine rerank of shortlist only.
+
+Scale notes (SCALE.md): stage 1 reads 8 B/vector and does integer-indexed
+table lookups (vectorized via numpy take + reshape); stage 2 reads float
+vectors for `shortlist` rows per query, never the corpus.  Both stages are
+embarrassingly parallel over corpus partitions; the only shuffle is the
+grouped top-k on query_id.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.operators.knn import knn_rerank_shortlist
+from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+
+
+def pq_train(
+    corpus: DataFrame,
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 15,
+    sample_limit: int = 200_000,
+) -> np.ndarray:
+    """Fit per-subspace codebooks; returns (m, n_codes, dim/m) float64.
+
+    Vectors are L2-normalized BEFORE splitting (cosine = dot of normalized
+    vectors, TencentVDB.py:46 COSINE), so the PQ approximation targets the
+    normalized space and ADC partial dots sum to an approximate cosine.
+    Deterministic for a fixed seed (FIXTURES.md determinism rules).
+    """
+    rows = corpus.select(vec_col).limit(sample_limit).collect()
+    x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
+    dim = x.shape[1]
+    if dim % m_subvectors:
+        raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
+    sub_d = dim // m_subvectors
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_subvectors, n_codes, sub_d), dtype=np.float64)
+    for s in range(m_subvectors):
+        sub = x[:, s * sub_d : (s + 1) * sub_d]
+        cents = sub[rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)]
+        for _ in range(max_iter):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            new = np.vstack(
+                [
+                    sub[assign == c].mean(axis=0) if np.any(assign == c) else cents[c]
+                    for c in range(len(cents))
+                ]
+            )
+            if np.allclose(new, cents, atol=1e-12):
+                break
+            cents = new
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to m one-byte codes (stored as array<int> —
+    parquet dictionary-encodes these to ~1 B each).  One numpy pass per
+    Arrow batch; at 100 TB this DataFrame *is* the searchable index table."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    m, n_codes, sub_d = codebooks.shape
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                sub = mat[:, s * sub_d : (s + 1) * sub_d]
+                # ||sub - c||^2 = ||sub||^2 - 2 sub.c + ||c||^2; argmin over c
+                d2 = -2.0 * (sub @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _encode, schema=f"{id_col} {id_t}, codes array<int>"
+    )
+
+
+def pq_adc_shortlist(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    shortlist: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Stage 1: ADC scoring over the codes table.
+
+    Per query the (m x n_codes) lookup table holds partial dots of the
+    exact normalized query subvectors against the codebook entries;
+    approx cosine(q, v) = sum_s table[s, codes_v[s]].  The scan touches
+    only `codes` (8 ints/row) and the scoring is a vectorized
+    numpy take-and-sum — no per-row Python.  Emits a per-PARTITION
+    shortlist per query; global top-k happens after the exact rerank.
+    """
+    spark = queries.sparkSession
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))
+    m, n_codes, sub_d = codebooks.shape
+    # tables[i, s, c] = dot(q_i[sub s], codebook[s, c])
+    tables = np.einsum("isd,scd->isc", qmat.reshape(len(qmat), m, sub_d), codebooks)
+    bq = spark.sparkContext.broadcast((qids, tables))
+
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    cid_t = encoded.schema[corpus_id].dataType.simpleString()
+
+    def stage1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tabs = bq.value
+        offsets = np.arange(m) * n_codes  # flatten (s, code) -> s*n_codes+code
+        flat = tabs.reshape(len(ids), m * n_codes)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64) + offsets[None, :]
+            # scores[i, j] = sum_s flat[i, codes_j[s]]
+            scores = flat[:, codes].sum(axis=2)  # (n_q, n_rows)
+            top = min(shortlist, scores.shape[1])
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(ids, top),
+                    corpus_id: pdf[corpus_id].to_numpy()[idx.ravel()],
+                    "approx_score": np.take_along_axis(scores, idx, axis=1).ravel(),
+                }
+            )
+
+    return encoded.mapInPandas(
+        stage1, schema=f"{query_id} {qid_t}, {corpus_id} {cid_t}, approx_score double"
+    )
+
+
+def pq_knn_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    shortlist: int | None = None,
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Train + encode + ADC shortlist + exact float64 rerank, top-k.
+
+    Output matches exact kNN (query_id, corpus_id, rank, score) whenever
+    the shortlist recalls the true top-k — guaranteed at fixture scale by
+    the default shortlist, asserted by the recall tests, and oracle-checked
+    against DuckDB exact kNN in the suite.
+    """
+    # shortlist is the recall knob (FAISS's `nprobe`-analog for flat PQ):
+    # on near-random vectors (worst case for PQ — no cluster structure to
+    # exploit) the true top-3's worst ADC rank measured ~65/500, so 128
+    # gives 2x margin; production tunes this against a recall@k probe set.
+    shortlist = shortlist or max(128, 4 * k)
+    books = pq_train(corpus, m_subvectors, n_codes, corpus_vec, seed=seed)
+    encoded = pq_encode(corpus, books, corpus_id, corpus_vec)
+    cands = pq_adc_shortlist(
+        queries, encoded, books, shortlist, query_id, query_vec, corpus_id
+    )
+    # partition-local shortlists -> one global shortlist per query, ranked
+    # by ADC score (shuffle rows = partitions x queries x shortlist,
+    # independent of corpus size — same shape as knn_quantized_rerank)
+    cands = grouped_topk(
+        cands, [query_id], [F.desc("approx_score"), F.asc(corpus_id)], shortlist
+    ).select(query_id, corpus_id)
+    return knn_rerank_shortlist(
+        cands, queries, corpus, k,
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+    )

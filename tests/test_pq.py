@@ -1,0 +1,75 @@
+"""Product-quantization ANN (operators/pq.py): codebook shape, encode
+determinism, ADC shortlist recall, and exact agreement of the reranked
+pipeline with exact kNN (SURVEY §5 self-consistency strategy)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.catalog import read_table
+from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy
+from crawling_vectordb_llm_spark.operators.pq import (
+    pq_adc_shortlist,
+    pq_encode,
+    pq_knn_rerank,
+    pq_train,
+)
+
+from .conftest import SF_SMALL
+
+M, CODES = 8, 16
+
+
+def _queries(emb, n=5):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_codebook_shape_and_determinism(spark):
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    b1 = pq_train(emb, M, CODES)
+    b2 = pq_train(emb, M, CODES)
+    assert b1.shape == (M, CODES, 64 // M)
+    assert np.array_equal(b1, b2)
+
+
+def test_encode_codes_in_range(spark):
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    books = pq_train(emb, M, CODES)
+    rows = pq_encode(emb, books, "vec_id").collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r["codes"]) == M
+        assert all(0 <= c < CODES for c in r["codes"])
+
+
+def test_adc_shortlist_recall(spark):
+    """The 128-candidate ADC shortlist must contain the true top-3 for
+    every query (recall@3 == 1.0) — the property that makes the reranked
+    output exactly match exact kNN."""
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    books = pq_train(emb, M, CODES)
+    encoded = pq_encode(emb, books, "vec_id")
+    cand = pq_adc_shortlist(_queries(emb), encoded, books, 128, corpus_id="vec_id")
+    cand_set = {(r["query_id"], r["vec_id"]) for r in cand.collect()}
+    exact = knn_join_numpy(_queries(emb), emb, k=3, corpus_id="vec_id").collect()
+    missing = [(r["query_id"], r["vec_id"]) for r in exact
+               if (r["query_id"], r["vec_id"]) not in cand_set]
+    assert not missing, f"shortlist missed true top-k pairs: {missing}"
+
+
+def test_pq_rerank_matches_exact_knn(spark):
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    got = {
+        (r["query_id"], r["vec_id"], r["rank"], round(r["score"], 6))
+        for r in pq_knn_rerank(
+            _queries(emb), emb, k=3, shortlist=128, corpus_id="vec_id"
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"], r["rank"], round(r["score"], 6))
+        for r in knn_join_numpy(_queries(emb), emb, k=3, corpus_id="vec_id").collect()
+    }
+    assert got == want
