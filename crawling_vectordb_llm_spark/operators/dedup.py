@@ -27,7 +27,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -36,6 +36,72 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
     return h.groupBy("content_hash").agg(
         F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document exact dedup, C4-style (Raffel et al. 2020 §2.2 dedupe
+    three-sentence spans; here the span unit is a fixed word window since
+    the fixture corpus has no sentence punctuation): split every doc into
+    non-overlapping `chunk_words`-word chunks, keep only the GLOBALLY first
+    occurrence of each distinct chunk (first = lowest (doc_id, chunk_idx)),
+    and reassemble each doc from its surviving chunks in order.
+
+    Scale shape: chunking is map-only (sequence+slice array exprs, no
+    Python); the keeper choice is one shuffle keyed by the chunk TEXT —
+    at 100 TB key by xxhash64(chunk) instead so shuffle rows carry 8-byte
+    keys, and break ties by (doc_id, chunk_idx) exactly as here.  The
+    reassembly groupBy re-shuffles only surviving (doc_id, idx, chunk)
+    rows.  Emits per-doc n_chunks / n_kept / kept_text (empty string when
+    every chunk of a doc was seen earlier elsewhere).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = (
+        docs.select(id_col, words.alias("__ws"), n_chunks.alias("__n"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("__ws"), i * chunk_words + 1, chunk_words)
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .where(F.col("chunk") != "")
+    )
+    w = Window.partitionBy("chunk").orderBy(F.asc(id_col), F.asc("chunk_idx"))
+    kept = chunks.withColumn("__rn", F.row_number().over(w))
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("__rn") == 1).cast("int")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") == 1,
+                            F.struct(F.col("chunk_idx"), F.col("chunk")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("chunk"),
+            ),
+        ).alias("kept_text"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_chunks").cast("int"),
+        F.col("n_kept").cast("int"),
+        "kept_text",
     )
 
 

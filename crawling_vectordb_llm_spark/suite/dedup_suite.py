@@ -31,6 +31,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "paragraph_dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), c AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' ') AS chunk
+  FROM t, unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS u(i)
+  WHERE array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' ') <> ''
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                           ORDER BY chunk_idx), '') AS kept_text
+FROM r GROUP BY doc_id
+""",
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup (operators/dedup.py paragraph_dedup):
+    split docs into 10-word chunks, keep each distinct chunk's globally
+    first occurrence, reassemble surviving text per doc."""
+    return D.paragraph_dedup(_docs(spark, sf_dir), chunk_words=10)
+
+
+@query(
     "ngram_jaccard_pairs",
     oracle="""
 WITH sh AS (

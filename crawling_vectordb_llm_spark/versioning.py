@@ -76,6 +76,32 @@ def list_versions(path: str) -> list[int]:
     return _versions(path)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite the CURRENT version's data as a new
+    version with ~target_rows_per_file rows per parquet file.  Returns the
+    new version number.
+
+    Incremental upserts (streaming foreachBatch, per-crawl merges) each
+    land a handful of rows per task and a 100 TB table degrades into
+    millions of KB-sized files — open/footer overhead then dominates every
+    scan and the driver's file listing itself becomes the bottleneck.
+    Compaction is the standard housekeeping (Delta OPTIMIZE / Iceberg
+    rewrite_data_files): coalesce to ceil(rows/target) files, written as a
+    NEW snapshot so concurrent readers of the old version are untouched
+    (same MVCC guarantee as any versioned_write); old versions age out via
+    vacuum().  Row content is preserved exactly — compaction is a physical
+    rewrite, not a logical change.
+    """
+    df = read_version(spark, path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    return versioned_write(df.coalesce(n_files), path)
+
+
 def vacuum(path: str, keep: int = 2) -> list[int]:
     """Drop all but the newest `keep` versions (never the pointer target).
     Returns the removed version numbers."""

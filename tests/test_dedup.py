@@ -187,3 +187,34 @@ def test_minhash_dedup_clusters_planted_copies_share_cluster(spark):
     }
     for i in range(10):
         assert labels.get(i + 1000) == labels.get(i) == i
+
+
+def test_paragraph_dedup_planted(spark):
+    """Doc 1 repeats doc 0's first 10-word chunk: the repeat must be
+    dropped from doc 1's kept_text while doc 0 keeps everything; a doc
+    that is entirely chunks seen earlier keeps nothing."""
+    a = " ".join(f"w{i}" for i in range(20))          # chunks A0, A1
+    shared = " ".join(f"w{i}" for i in range(10))     # == A0
+    b = shared + " " + " ".join(f"x{i}" for i in range(10))
+    c = shared                                        # fully duplicated doc
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(docs, 10).collect()}
+    assert (out[0]["n_chunks"], out[0]["n_kept"]) == (2, 2)
+    assert out[0]["kept_text"] == a
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 1)
+    assert out[1]["kept_text"] == " ".join(f"x{i}" for i in range(10))
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (1, 0)
+    assert out[2]["kept_text"] == ""
+
+
+def test_paragraph_dedup_partial_tail_chunk(spark):
+    """A trailing partial chunk is its own span, deduped like any other."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k l"), (1, "k l")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(docs, 10).collect()}
+    assert (out[0]["n_chunks"], out[0]["n_kept"]) == (2, 2)
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (1, 0)

@@ -32,3 +32,34 @@ def test_vacuum_keeps_latest_and_respects_keep(spark, tmp_path):
     assert removed == [1, 2]
     assert V.list_versions(path) == [3, 4]
     assert V.read_version(spark, path).count() == 4
+
+
+def test_compact_coalesces_files_preserving_rows(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "coll")
+    # a fragmented write: 16 partitions of ~6 rows each -> 16 small files
+    frag = spark.range(100).repartition(16).withColumn("val", F.col("id") * 2)
+    V.versioned_write(frag, path)
+    n_small = len(glob.glob(f"{path}/v=1/part-*.parquet"))
+    assert n_small == 16
+
+    v = V.compact(spark, path, target_rows_per_file=1_000_000)
+    assert v == 2
+    n_compacted = len(glob.glob(f"{path}/v=2/part-*.parquet"))
+    assert n_compacted == 1
+
+    # physical rewrite only: identical logical content, old snapshot intact
+    before = sorted(tuple(r) for r in V.read_version(spark, path, 1).collect())
+    after = sorted(tuple(r) for r in V.read_version(spark, path, 2).collect())
+    assert before == after
+    assert V.latest_version(path) == 2
+
+
+def test_compact_respects_target_rows_per_file(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "coll")
+    V.versioned_write(spark.range(100).repartition(8), path)
+    V.compact(spark, path, target_rows_per_file=30)  # ceil(100/30) = 4 files
+    assert len(glob.glob(f"{path}/v=2/part-*.parquet")) == 4
