@@ -114,3 +114,39 @@ def run_stream_stream_join(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_static_join(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    on: str,
+) -> DataFrame:
+    """Stream-static enrichment join: the canonical dimension lookup on an
+    ingest stream (each microbatch of the crawl feed joined to a slowly-
+    changing reference table).
+
+    The static side needs no watermark and holds no state — Spark plans it
+    as a fresh broadcast per microbatch, so the stream side never shuffles
+    (the 100 TB/day regime: dim tables broadcast, fact stream stays
+    partition-local).  On a finite availableNow replay the appended output
+    equals the batch inner join, which the oracle checks.
+    """
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isfile(events_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        events_path = os.path.dirname(events_path)
+    from pyspark.sql import functions as F
+
+    src = reader.load(events_path).join(F.broadcast(dim), on, "inner")
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -180,6 +180,32 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_static_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment, e.event_type, COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (streaming/dedup.py
+    run_stream_static_join): the events file stream joined per-microbatch
+    to the static customer dimension, aggregated by (segment, event_type).
+    The stream side never shuffles pre-aggregation; the dim is a broadcast
+    — the shape a 100 TB/day ingest enrichment must have."""
+    from crawling_vectordb_llm_spark.streaming.dedup import run_stream_static_join
+
+    dim = (
+        spark.read.parquet(table_path(sf_dir, "customer"))
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = run_stream_static_join(spark, table_path(sf_dir, "events"), dim, "user_id")
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
     "event_funnel",
     oracle="""
 WITH s AS (
