@@ -53,6 +53,8 @@ HEADLINE = [
     "sequence_packing",
     "embedding_quantize",
     "quantized_knn_rerank",
+    "pq_knn_rerank",
+    "paragraph_dedup",
     "salted_skew_join",
     "curation_pipeline",
     "similarity_pagerank",

@@ -50,3 +50,22 @@ def test_build_index_and_search_from_artifacts(spark, tmp_path):
     sigs = spark.read.parquet(arts["minhash_signatures"])
     assert sigs.count() == docs.count()
     assert len(sigs.first()["signature"]) == 32
+
+def test_ivf_assignment_layout_prunes_partitions(spark, tmp_path):
+    """The centroid-partitioned layout is the whole point of IVF at scale:
+    a probe of specific cells must reach the scan as PartitionFilters
+    (directory pruning — unprobed cells are never read), not a post-scan
+    filter."""
+    docs = read_table(spark, SF_SMALL, "documents")
+    arts = build_index(spark, docs, str(tmp_path), n_centroids=8)
+    assigned = spark.read.parquet(arts["ivf_assignment"])
+    probed = assigned.where(F.col("centroid_id").isin(1, 3))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    # and the pruned scan returns exactly the probed cells' rows
+    expect = assigned.collect()
+    got = probed.collect()
+    assert {r["centroid_id"] for r in got} <= {1, 3}
+    assert len(got) == sum(1 for r in expect if r["centroid_id"] in (1, 3))
