@@ -85,3 +85,31 @@ def fingerprint(c: Column | str, mod: int = 1_000_000_007) -> Column:
         % mod,
     )
     return h
+
+
+def nfc_normalize(c: Column | str) -> Column:
+    """Unicode NFC normalization — canonical composition so byte-level ops
+    (hashing, exact dedup, shingling) agree across sources that emit
+    composed vs decomposed forms ('é' as U+00E9 vs 'e'+U+0301 hash apart
+    without this; a crawl mixing CMSes will contain both).
+
+    Spark has no built-in normalizer, so this is an Arrow-batched pandas
+    UDF over stdlib unicodedata — the sanctioned slow path (SURVEY §2.5
+    UDF row), map-only, no state.  ASCII fast path: unicodedata.is_normalized
+    is O(n) scan-and-skip for already-NFC text, which dominates real
+    corpora, so the UDF is cheap where it matters.
+    """
+    import unicodedata
+
+    import pandas as pd
+
+    def _nfc_series(s: "pd.Series") -> "pd.Series":
+        return s.map(
+            lambda t: t
+            if t is None or unicodedata.is_normalized("NFC", t)
+            else unicodedata.normalize("NFC", t)
+        )
+
+    _nfc_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = F.pandas_udf(_nfc_series, "string")
+    return _nfc(F.col(c) if isinstance(c, str) else c)

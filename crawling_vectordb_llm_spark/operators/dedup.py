@@ -321,6 +321,80 @@ def simhash_near_dup_candidates(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def _bloom_positions(col: str, m_bits: int, k: int, seed: int) -> F.Column:
+    """k bit positions per value, all JVM-side: pmod(xxhash64(v, seed+i), m).
+    Independent seeds stand in for independent hash functions (the standard
+    double-hashing-free construction; xxhash64's seed mixes thoroughly)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5, seed: int = 0
+) -> np.ndarray:
+    """Build a Bloom bitset (packed uint8, m_bits/8 bytes) over df[col].
+
+    The build side is the SMALL side by contract (an eval benchmark's
+    shingle set, a blocklist): one distinct-positions pass collects at most
+    k x |values| longs; the bitset itself is m_bits/8 bytes (2^20 bits =
+    128 KB, 2^30 = 128 MB) — broadcastable where the value set itself might
+    not be.  Spark's own `bloom_filter_agg` is not exposed through the
+    Python function registry, so positions are computed with public
+    xxhash64 exprs — which also makes probe-side behavior reproducible
+    anywhere xxhash64 exists.
+    """
+    pos = (
+        df.select(F.explode(_bloom_positions(col, m_bits, k, seed)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+    idx = np.array([r["p"] for r in pos], dtype=np.int64)
+    np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    return bits
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    col: str,
+    bitset: np.ndarray,
+    k: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Filter df to rows whose col MIGHT be in the bloomed set (no false
+    negatives; false-positive rate set by m_bits/k vs build cardinality).
+
+    The probe is map-only: positions come from the same JVM xxhash64
+    exprs, the broadcast bitset is tested with one vectorized numpy gather
+    per hash.  At 100 TB this is the pre-join shrink: the exact-verify
+    join downstream sees only bloom survivors, not the corpus.
+    """
+    spark = df.sparkSession
+    m_bits = int(bitset.shape[0]) << 3
+    bc = spark.sparkContext.broadcast(bitset)
+    import pandas as pd  # noqa: F811 (module-level import exists)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _probe(pos: pd.Series) -> pd.Series:
+        bits = bc.value
+        out = np.ones(len(pos), dtype=bool)
+        if len(pos):
+            mat = np.array(list(pos), dtype=np.int64)  # (rows, k)
+            for j in range(mat.shape[1]):
+                p = mat[:, j]
+                out &= (bits[p >> 3] >> (p & 7) & 1).astype(bool)
+        return pd.Series(out)
+
+    return df.withColumn(
+        "__bloom_hit", _probe(_bloom_positions(col, m_bits, k, seed))
+    ).where(F.col("__bloom_hit")).drop("__bloom_hit")
+
+
 def contamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,

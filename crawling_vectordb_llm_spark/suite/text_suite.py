@@ -19,6 +19,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unicode_normalize",
+    oracle="""
+SELECT doc_id, md5(nfc_normalize(text)) AS norm_hash,
+       CAST(nfc_normalize(text) = text AS BOOLEAN) AS already_nfc
+FROM documents
+""",
+)
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (functions/text.py nfc_normalize) —
+    byte-level identity for hashing/dedup across composed/decomposed
+    sources.  DuckDB's nfc_normalize is the oracle; planted non-ASCII
+    agreement is pinned by tests/test_extended_ops.py."""
+    d = _docs(spark, sf_dir)
+    n = X.nfc_normalize("text")
+    return d.select(
+        "doc_id",
+        F.md5(n).alias("norm_hash"),
+        (n == F.col("text")).alias("already_nfc"),
+    )
+
+
+@query(
     "text_clean_truncate",
     oracle="""
 SELECT doc_id,

@@ -309,6 +309,50 @@ def q_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_decontamination",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+         )) AS shingles
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+b AS (SELECT list_distinct(flatten(list(shingles))) AS bs FROM sh WHERE doc_id < 5),
+c AS (SELECT doc_id, shingles FROM sh WHERE doc_id >= 5)
+SELECT c.doc_id, CAST(len(list_intersect(c.shingles, b.bs)) AS INT) AS n_shared
+FROM c CROSS JOIN b
+WHERE len(list_intersect(c.shingles, b.bs)) > 0
+""",
+)
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: benchmark (docs 0-4) bigrams go
+    into a 128 KB Bloom bitset; the corpus's exploded bigrams are probed
+    map-only and ONLY bloom survivors reach the exact-verify join, whose
+    output (distinct shared bigrams per doc) the oracle checks exactly —
+    the Bloom stage can only shed non-members, so the final result is
+    byte-identical to the join-everything plan while the join input is a
+    small fraction of the corpus at scale."""
+    from crawling_vectordb_llm_spark.operators.dedup import (
+        bloom_build,
+        bloom_might_contain,
+        word_shingles,
+    )
+
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", F.explode(word_shingles("text", 2)).alias("sh"))
+    bench_sh = sh.where(F.col("doc_id") < 5).select("sh").distinct()
+    corpus_sh = sh.where(F.col("doc_id") >= 5)
+    bits = bloom_build(bench_sh, "sh")
+    survivors = bloom_might_contain(corpus_sh, "sh", bits)
+    verified = survivors.join(F.broadcast(bench_sh), "sh")
+    return verified.groupBy("doc_id").agg(
+        F.count_distinct("sh").cast("int").alias("n_shared")
+    )
+
+
+@query(
     "sequence_packing",
     oracle="""
 WITH t AS (

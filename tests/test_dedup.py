@@ -218,3 +218,28 @@ def test_paragraph_dedup_partial_tail_chunk(spark):
     out = {r["doc_id"]: r for r in D.paragraph_dedup(docs, 10).collect()}
     assert (out[0]["n_chunks"], out[0]["n_kept"]) == (2, 2)
     assert (out[1]["n_chunks"], out[1]["n_kept"]) == (1, 0)
+
+
+def test_bloom_prefilter_no_false_negatives_and_shrinks(spark):
+    """Every true member must survive the bloom probe (FN-free is the
+    correctness contract); with 2^20 bits over a few thousand build values
+    the false-positive rate must also make the prefilter actually shrink
+    the non-member stream."""
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.explode(D.word_shingles("text", 2)).alias("sh")
+    )
+    bench = sh.where(F.col("doc_id") < 5).select("sh").distinct()
+    corpus = sh.where(F.col("doc_id") >= 5)
+
+    bits = D.bloom_build(bench, "sh")
+    survivors = D.bloom_might_contain(corpus, "sh", bits)
+
+    true_members = corpus.join(bench, "sh")
+    n_members = true_members.count()
+    n_surv = survivors.count()
+    n_corpus = corpus.count()
+    # FN-free: survivors must cover every true member row
+    assert survivors.join(bench, "sh").count() == n_members
+    # and shed the bulk of the non-members
+    assert n_surv < n_members + 0.02 * (n_corpus - n_members)

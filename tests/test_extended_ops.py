@@ -178,3 +178,31 @@ def test_multimodal_resize_halves_dims_and_stays_decodable(spark):
         assert r["height"] == (o["height"] + 1) // 2
         assert r["kind"] == o["kind"]
         assert r["payload_bytes"] == r["width"] * r["height"]
+
+
+def test_nfc_normalize_agrees_with_duckdb_on_planted_forms(spark):
+    """Composed vs decomposed forms must converge to identical bytes, and
+    Spark's UDF must agree with DuckDB's nfc_normalize (the oracle used by
+    the unicode_normalize query) beyond the fixture's ASCII."""
+    import duckdb
+
+    from crawling_vectordb_llm_spark.functions.text import nfc_normalize
+
+    cases = [
+        "café",              # composed é
+        "café",             # decomposed e + combining acute
+        "ẛ̣",           # ẛ̣ — multi-step canonical composition
+        "가",                 # 가 precomposed hangul
+        "가",           # 가 as jamo pair
+        "ascii only",
+        "emoji 🙂 and CJK 漢字",
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, s string")
+    got = {r["i"]: r["n"] for r in df.select("i", nfc_normalize("s").alias("n")).collect()}
+    for i, s in enumerate(cases):
+        want = duckdb.sql("select nfc_normalize(?)", params=[s]).fetchone()[0]
+        assert got[i] == want, (i, s, got[i], want)
+    # composed/decomposed pairs land on the same bytes
+    assert got[0] == got[1]
+    assert got[3] == got[4]
