@@ -41,6 +41,101 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitter_terms",
+    oracle="""
+SELECT lang, t AS term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+) WHERE t <> '' GROUP BY lang, t
+""",
+)
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy hitters via the approx_top_k sketch (Spark 4.1
+    built-in).  The sketch is the 100 TB shape: each partition tracks a
+    bounded item set and merges combine sketches, so no full (lang, term)
+    shuffle of the long tail ever happens.  On the fixture the per-lang
+    vocabulary (31 terms) sits far below maxItemsTracked, where the sketch
+    is EXACT — so the DuckDB exact word-count is a valid oracle; at real
+    scale the same plan degrades gracefully to approximate tails."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    ).where(F.col("t") != "")
+    sk = toks.groupBy("lang").agg(F.expr("approx_top_k(t, 40)").alias("top"))
+    return sk.select("lang", F.explode("top").alias("e")).select(
+        "lang",
+        F.col("e.item").alias("term"),
+        F.col("e.count").cast("bigint").alias("cnt"),
+    )
+
+
+@query(
+    "pmi_term_associations",
+    oracle="""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents WHERE doc_id < 200
+), n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+tf AS (SELECT t, COUNT(*) AS nt FROM dt GROUP BY t),
+pairs AS (
+  SELECT a.t AS term_a, b.t AS term_b, COUNT(*) AS nab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t HAVING COUNT(*) >= 5
+)
+SELECT term_a, term_b, pmi, CAST(rank AS INT) AS rank FROM (
+  SELECT term_a, term_b,
+         ROUND(ln(nab * n / (ta.nt * CAST(tb.nt AS DOUBLE))), 6) AS pmi,
+         row_number() OVER (PARTITION BY term_a
+                            ORDER BY ROUND(ln(nab * n / (ta.nt * CAST(tb.nt AS DOUBLE))), 6) DESC,
+                                     term_b) AS rank
+  FROM pairs JOIN tf ta ON pairs.term_a = ta.t
+             JOIN tf tb ON pairs.term_b = tb.t
+             CROSS JOIN n_docs
+) WHERE rank <= 3
+""",
+)
+def q_pmi_term_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI term co-occurrence — the query-expansion table a retrieval
+    stack mines offline ("related terms" per seed term): PMI(a,b) =
+    ln(P(a,b)/P(a)P(b)) over doc-level occurrence, top-3 partners per
+    term.  Scale shape: doc-distinct tokens are map-only; the pair
+    generation is a same-doc self-join whose cost is bounded by
+    tokens-per-doc (never corpus²); support pruning (nab >= 5) kills the
+    long tail before the window."""
+    from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    n_docs = dt.select("doc_id").distinct().count()
+    tf = dt.groupBy("t").agg(F.count(F.lit(1)).alias("nt"))
+    b = dt.select(F.col("doc_id"), F.col("t").alias("t_b"))
+    pairs = (
+        dt.join(b, "doc_id")
+        .where(F.col("t") < F.col("t_b"))
+        .groupBy(F.col("t").alias("term_a"), F.col("t_b").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .where(F.col("nab") >= 5)
+    )
+    ta = tf.select(F.col("t").alias("term_a"), F.col("nt").alias("na"))
+    tb = tf.select(F.col("t").alias("term_b"), F.col("nt").alias("nb"))
+    scored = (
+        pairs.join(F.broadcast(ta), "term_a")
+        .join(F.broadcast(tb), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            F.round(
+                F.log(F.col("nab") * F.lit(n_docs) / (F.col("na") * F.col("nb").cast("double"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    out = grouped_topk(scored, ["term_a"], [F.desc("pmi"), F.asc("term_b")], 3)
+    return out.select("term_a", "term_b", "pmi", F.col("rank").cast("int"))
+
+
+@query(
     "text_clean_truncate",
     oracle="""
 SELECT doc_id,
