@@ -54,7 +54,9 @@ HEADLINE = [
     "embedding_quantize",
     "quantized_knn_rerank",
     "pq_knn_rerank",
+    "ann_ivfpq_topk",
     "paragraph_dedup",
+    "bloom_decontamination",
     "salted_skew_join",
     "curation_pipeline",
     "similarity_pagerank",

@@ -179,6 +179,149 @@ def pq_adc_shortlist(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 128,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ (Jegou et al. 2011; FAISS IndexIVFPQ) — the full 100 TB ANN
+    stack in one operator: coarse k-means cells prune WHICH partitions are
+    read (IVF), residual product quantization shrinks WHAT is read to
+    m bytes/vector (PQ), ADC scores without touching floats, and the exact
+    rerank restores true order on the shortlist.
+
+    Residual trick: encode r = v_norm - centroid(v) with the shared
+    codebooks; then q.v = q.centroid + q.r, where q.centroid is one tiny
+    GEMM against the centroid table and q.r is m ADC table lookups — the
+    centroid term re-centers each cell so one codebook serves all cells.
+
+    Scale shape: with the corpus written partitionBy(centroid_id)
+    (plans/index_build.py layout), the probe join is partition PRUNING —
+    n_probe/n_centroids of the bytes are read, at m bytes/vector.  Shuffle
+    = O(partitions x queries x shortlist).  Recall knobs: n_probe (cells)
+    x shortlist (ADC survivors); both asserted by recall tests against
+    exact kNN.
+    """
+    from crawling_vectordb_llm_spark.operators.ivf import (
+        assign_centroids,
+        kmeans_centroids,
+    )
+
+    spark = queries.sparkSession
+    cents = kmeans_centroids(corpus, n_centroids, corpus_vec, seed=seed)
+    assigned = assign_centroids(corpus, cents, corpus_id, corpus_vec)
+
+    # --- train PQ on residuals (driver sample, deterministic) ---
+    rows = assigned.select(corpus_vec, "centroid_id").limit(200_000).collect()
+    x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
+    cid = np.array([r[1] for r in rows], dtype=np.int64)
+    resid = x - cents[cid]
+    dim = x.shape[1]
+    sub_d = dim // m_subvectors
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_subvectors, n_codes, sub_d), dtype=np.float64)
+    for s in range(m_subvectors):
+        sub = resid[:, s * sub_d : (s + 1) * sub_d]
+        cc = sub[rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)]
+        for _ in range(15):
+            d2 = ((sub[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            new = np.vstack(
+                [sub[a == c].mean(axis=0) if np.any(a == c) else cc[c] for c in range(len(cc))]
+            )
+            if np.allclose(new, cc, atol=1e-12):
+                break
+            cc = new
+        books[s] = cc
+
+    # --- encode residuals (map-only) ---
+    bc = spark.sparkContext.broadcast((cents, books))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents_, books_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(list(pdf[corpus_vec]), dtype=np.float64))
+            r = mat - cents_[pdf["centroid_id"].to_numpy()]
+            codes = np.empty((len(mat), m_subvectors), dtype=np.int32)
+            for s in range(m_subvectors):
+                sub = r[:, s * sub_d : (s + 1) * sub_d]
+                d2 = -2.0 * (sub @ books_[s].T) + (books_[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    corpus_id: pdf[corpus_id],
+                    "centroid_id": pdf["centroid_id"],
+                    "codes": list(codes),
+                }
+            )
+
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
+    encoded = assigned.mapInPandas(
+        _encode, schema=f"{corpus_id} {cid_t}, centroid_id int, codes array<int>"
+    )
+
+    # --- probe cells per query, ADC-score only those cells ---
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))
+    q_cent = qmat @ cents.T  # (nq, n_centroids): the q.centroid term
+    probe_cells = np.argsort(-q_cent, axis=1)[:, :n_probe]
+    tables = np.einsum(
+        "isd,scd->isc", qmat.reshape(len(qmat), m_subvectors, sub_d), books
+    )
+    probes = spark.createDataFrame(
+        [(int(q), [int(c) for c in probe_cells[i]]) for i, q in enumerate(qids)],
+        f"{query_id} long, cells array<int>",
+    ).select(query_id, F.explode("cells").alias("centroid_id"))
+    bq = spark.sparkContext.broadcast((qids, q_cent, tables))
+
+    cand = encoded.join(F.broadcast(probes), "centroid_id")
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qc, tabs = bq.value
+        qpos = {int(q): i for i, q in enumerate(ids)}
+        flat = tabs.reshape(len(ids), m_subvectors * n_codes)
+        offs = np.arange(m_subvectors) * n_codes
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qi = np.array([qpos[int(q)] for q in pdf[query_id]])
+            codes = np.array(list(pdf["codes"]), dtype=np.int64) + offs[None, :]
+            adc = flat[qi[:, None], codes].sum(axis=1)
+            score = adc + qc[qi, pdf["centroid_id"].to_numpy()]
+            yield pd.DataFrame(
+                {
+                    query_id: pdf[query_id],
+                    corpus_id: pdf[corpus_id],
+                    "approx_score": score,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        _score, schema=f"{query_id} long, {corpus_id} {cid_t}, approx_score double"
+    )
+    short = grouped_topk(
+        scored, [query_id], [F.desc("approx_score"), F.asc(corpus_id)], shortlist
+    ).select(query_id, corpus_id)
+    return knn_rerank_shortlist(
+        short, queries, corpus, k,
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+    )
+
+
 def pq_knn_rerank(
     queries: DataFrame,
     corpus: DataFrame,

@@ -80,9 +80,23 @@ def build_index(
     sig_path = os.path.join(out_dir, "minhash_signatures")
     minhash_signatures(collection).write.mode("overwrite").parquet(sig_path)
 
+    # PQ codes: the m-bytes-per-vector search table (operators/pq.py) —
+    # at 100 TB the ADC scan reads THIS artifact, not the collection
+    from crawling_vectordb_llm_spark.operators.pq import pq_encode, pq_train
+
+    books = pq_train(collection, vec_col="vector")
+    books_path = os.path.join(out_dir, "pq_codebooks.npy")
+    np.save(books_path, books)
+    codes_path = os.path.join(out_dir, "pq_codes")
+    pq_encode(collection, books, id_col="doc_id", vec_col="vector").write.mode(
+        "overwrite"
+    ).parquet(codes_path)
+
     return {
         "collection": coll_path,
         "centroids": cent_path,
         "ivf_assignment": assigned_path,
         "minhash_signatures": sig_path,
+        "pq_codebooks": books_path,
+        "pq_codes": codes_path,
     }

@@ -378,6 +378,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=10, n_centroids=16, n_probe=4)
 
 
+@query("ann_ivfpq_topk")
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (k-means float-order-sensitive): IVF-PQ — coarse-cell
+    pruning + residual product quantization + ADC + exact rerank
+    (operators/pq.py ivfpq_topk).  Recall vs exact kNN and determinism
+    asserted in tests/test_pq.py."""
+    from crawling_vectordb_llm_spark.operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(queries, emb, k=10, n_centroids=16, n_probe=8)
+
+
 @query("multimodal_resize")
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the resize stage of the multimodal pipeline — synth

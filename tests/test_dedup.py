@@ -243,3 +243,42 @@ def test_bloom_prefilter_no_false_negatives_and_shrinks(spark):
     assert survivors.join(bench, "sh").count() == n_members
     # and shed the bulk of the non-members
     assert n_surv < n_members + 0.02 * (n_corpus - n_members)
+
+
+def test_paragraph_dedup_matches_python_reference_on_random_corpus(spark):
+    """Randomized corpus (seeded) vs a direct Python reference: every
+    distinct chunk survives exactly once, at its globally-first
+    (doc_id, chunk_idx) position."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 37))))
+        for i in range(40)
+    ]
+    W = 5
+
+    def chunks_of(text):
+        ws = text.split(" ")
+        return [" ".join(ws[i : i + W]) for i in range(0, len(ws), W)]
+
+    seen, keep = set(), {}
+    for i, text in docs:
+        kept = []
+        n = 0
+        for ch in chunks_of(text):
+            if ch == "":
+                continue
+            n += 1
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        keep[i] = (n, len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_text"])
+        for r in D.paragraph_dedup(df, W).collect()
+    }
+    assert got == keep

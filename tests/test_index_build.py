@@ -69,3 +69,19 @@ def test_ivf_assignment_layout_prunes_partitions(spark, tmp_path):
     got = probed.collect()
     assert {r["centroid_id"] for r in got} <= {1, 3}
     assert len(got) == sum(1 for r in expect if r["centroid_id"] in (1, 3))
+
+
+def test_build_index_emits_pq_artifacts(spark, tmp_path):
+    """build_index also materializes the PQ search table: codebooks
+    (m, n_codes, dim/m) + an m-codes-per-doc parquet keyed like the
+    collection."""
+    docs = read_table(spark, SF_SMALL, "documents").limit(100)
+    arts = build_index(spark, docs, str(tmp_path), n_centroids=4)
+    books = np.load(arts["pq_codebooks"])
+    assert books.shape == (8, 16, 8)  # m=8, 16 codes, 64/8 dims
+    codes = spark.read.parquet(arts["pq_codes"])
+    coll = spark.read.parquet(arts["collection"])
+    assert codes.count() == coll.count()
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert set(codes.columns) == {"doc_id", "codes"}

@@ -73,3 +73,31 @@ def test_pq_rerank_matches_exact_knn(spark):
         for r in knn_join_numpy(_queries(emb), emb, k=3, corpus_id="vec_id").collect()
     }
     assert got == want
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    """IVF-PQ approximate top-10 must recall >= 0.8 of the exact top-10
+    (n_probe=8 of 16 cells, 128 shortlist on the 500-row fixture) and be
+    deterministic across runs."""
+    from crawling_vectordb_llm_spark.operators.pq import ivfpq_topk
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    q = _queries(emb, 5)
+    got = ivfpq_topk(q, emb, k=10, n_centroids=16, n_probe=8,
+                     shortlist=128, corpus_id="vec_id")
+    pairs = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join_numpy(q, emb, k=10, corpus_id="vec_id").collect()
+    }
+    assert len(pairs & exact) / len(exact) >= 0.8
+    again = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk(q, emb, k=10, n_centroids=16, n_probe=8,
+                            shortlist=128, corpus_id="vec_id").collect()
+    }
+    assert pairs == again
+    # self-retrieval: each query's own vector survives coarse pruning
+    # (it lives in the cell the query scores highest) and ranks first
+    rank1 = {r["query_id"]: r["vec_id"] for r in got.collect() if r["rank"] == 1}
+    assert rank1 == {i: i for i in range(5)}
