@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 from crawling_vectordb_llm_spark.catalog import read_table
 from crawling_vectordb_llm_spark.operators.components import connected_components
-from crawling_vectordb_llm_spark.operators.dedup import minhash_near_dup_pairs
+from crawling_vectordb_llm_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    paragraph_dedup,
+)
+from crawling_vectordb_llm_spark.operators.pq import pq_adc_shortlist, pq_encode, pq_train
 from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy, threshold_similarity_join
 from crawling_vectordb_llm_spark.session import get_spark
 from crawling_vectordb_llm_spark.streaming.windows import sessionize_batch, tumbling_agg
@@ -63,6 +67,9 @@ def main() -> None:
         .select("a_id", "b_id")
         .localCheckpoint()
     )
+    # PQ codebooks trained ONCE on the 1x corpus (replicas share the same
+    # distribution) so the measurement isolates encode+ADC, not training
+    pq_books = pq_train(emb, vec_col="embedding")
 
     results: dict[str, dict[int, float]] = {}
     for copies in (1, 4, 16):
@@ -108,6 +115,16 @@ def main() -> None:
                 corpus_id="vec_id",
             ).count(),
             "minhash_neardup": lambda: minhash_near_dup_pairs(D, tau=0.5).count(),
+            "paragraph_dedup": lambda: paragraph_dedup(D).count(),
+            "pq_adc_50q": lambda: pq_adc_shortlist(
+                V.where(F.col("vec_id") < 50).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                ),
+                pq_encode(V, pq_books),
+                pq_books,
+                128,
+            ).count(),
             "cc_components": lambda: connected_components(
                 replicate(base_pairs, copies, ["a_id", "b_id"])
             ).count(),
