@@ -113,3 +113,39 @@ def nfc_normalize(c: Column | str) -> Column:
     _nfc_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _nfc = F.pandas_udf(_nfc_series, "string")
     return _nfc(F.col(c) if isinstance(c, str) else c)
+
+
+def canonicalize_url(c: Column | str) -> Column:
+    """Crawl-frontier URL canonicalization — pure regexp/string exprs so
+    an external oracle reproduces it exactly.
+
+    The reference's frontier builds URLs by naive concat (Crawling.py:26)
+    and dedups only by upsert-by-id at the very end (TencentVDB.py:70);
+    at crawl scale the frontier itself must collapse URL aliases BEFORE
+    fetching, or every tracking-tagged share link refetches the page.
+    Rules (each a standard alias class):
+      1. scheme + host lowercased (RFC 3986 §6.2.2.1)
+      2. fragment dropped (never sent to the server)
+      3. utm_* / ref / fbclid tracking params dropped, '?'/'&' re-fixed
+      4. default ports (:80/:443) dropped
+      5. trailing '/' dropped (root included: host/ == host)
+
+    Every regex below is RE2-safe (no lookaround, no backrefs in the
+    pattern) so DuckDB's regexp_replace(..., 'g') is an exact oracle.
+    """
+    u = F.col(c) if isinstance(c, str) else c
+    # 1. lowercase scheme://host[:port] only (path/query stay case-sensitive)
+    lowered = F.concat(
+        F.lower(F.regexp_extract(u, r"^([^/]*//[^/?#]*)", 1)),
+        F.regexp_replace(u, r"^[^/]*//[^/?#]*", ""),
+    )
+    no_frag = F.regexp_replace(lowered, r"#.*$", "")
+    # 3a. strip non-leading tracking params (global), 3b. promote a
+    # surviving param past a stripped leading tracker, 3c. drop a bare '?'
+    a = F.regexp_replace(no_frag, r"&(?:utm_[a-z]+|ref|fbclid)=[^&]*", "")
+    b = F.regexp_replace(a, r"\?(?:utm_[a-z]+|ref|fbclid)=[^&]*&", "?")
+    no_track = F.regexp_replace(b, r"\?(?:utm_[a-z]+|ref|fbclid)=[^&]*$", "")
+    no_port = F.regexp_replace(
+        no_track, r"^(https?://[^/:?#]*):(?:80|443)([/?#]|$)", r"$1$2"
+    )
+    return F.regexp_replace(no_port, r"/(\?|$)", r"$1").alias("canonical_url")

@@ -1,0 +1,95 @@
+"""DSIR — data selection with importance resampling (Xie et al., "Data
+Selection for Language Models via Importance Resampling", NeurIPS 2023).
+
+Given a small TARGET corpus (the distribution you want more of — curated
+wiki/books, a domain slice) and the RAW crawl, DSIR scores every raw
+document by the log-likelihood ratio of two hashed n-gram bag models:
+
+    w(doc) = mean over doc features f of  [ log p_target(f) - log p_raw(f) ]
+
+and resamples the raw corpus proportionally to exp(w).  The reference's
+pipeline ingests whatever the crawler returns (Crawling.py:36-48, no
+selection at all); at 100 TB a selection stage like this is what decides
+which crawl shards are worth embedding at all (TencentVDB.py:74-79's
+upsert loop is the budget being protected).
+
+Spark shape: both bag models are ONE aggregation each over a hashed
+feature space of `n_buckets` rows — tiny, broadcast back onto the
+feature stream; per-doc scoring is a map-side join + one groupBy(doc).
+No shuffle touches the raw corpus except the final per-doc aggregation.
+
+The feature hash is md5-derived (first 3 hex chars -> 4096 buckets) so an
+external oracle (DuckDB, any engine with md5) reproduces it bit-for-bit —
+xxhash64 would be Spark-only.  Laplace (+1) smoothing keeps unseen
+buckets finite.  Per-feature log-ratios are rounded to 6 dp and summed as
+decimals so the grouped mean is order-independent (registry determinism
+rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hashed_ngram_buckets(text_col: str, n: int = 2, n_buckets: int = 4096) -> F.Column:
+    """Non-distinct word n-grams hashed into [0, n_buckets) — the DSIR
+    feature stream.  Bucket = integer value of the first 3 hex chars of
+    md5(ngram) (4096 exactly); engine-portable by construction."""
+    assert n_buckets == 4096, "bucket space is pinned to 3 md5 hex chars"
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    guarded = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.transform(
+        guarded,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 3), 16, 10).cast("int"),
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Score every document by the hashed-bigram importance log-ratio.
+
+    `target` is a boolean Column over `docs` selecting the target slice
+    (it stays in the corpus — DSIR scores everything; callers drop or
+    resample afterwards).  Returns (id_col, n_feats bigint, logratio
+    double) with logratio = mean per-feature [log p_t - log p_r], both
+    models Laplace-smoothed over the bucket space.
+    """
+    feats = docs.select(
+        F.col(id_col),
+        target.alias("__is_target"),
+        F.explode(hashed_ngram_buckets(text_col, n, n_buckets)).alias("bucket"),
+    )
+    model = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.col("__is_target").cast("long")).alias("c_tgt"),
+    )
+    totals = model.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    ).first()
+    t_raw = float(totals["t_raw"]) + n_buckets
+    t_tgt = float(totals["t_tgt"]) + n_buckets
+    scored = feats.join(F.broadcast(model), "bucket").select(
+        id_col,
+        F.round(
+            F.log((F.col("c_tgt") + 1) / F.lit(t_tgt))
+            - F.log((F.col("c_raw") + 1) / F.lit(t_raw)),
+            6,
+        )
+        .cast("decimal(22,6)")
+        .alias("lr"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.round(F.sum("lr").cast("double") / F.count(F.lit(1)), 6).alias("logratio"),
+    )

@@ -260,3 +260,17 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")))
     )
+
+
+@query("semantic_dedup")
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): k-means clusters over the
+    embedding corpus, then a greedy intra-cluster cosine prune — drops
+    documents semantically duplicating an already-kept lower id.  Not
+    SQL-expressible (iterative float k-means + sequential greedy), so
+    rows-only here; tests/test_semdedup.py pins planted-duplicate recall,
+    lowest-id-wins election, determinism, and sub-cell safety."""
+    from crawling_vectordb_llm_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return semantic_dedup(emb, tau=0.4, n_clusters=8, seed=42)

@@ -223,3 +223,67 @@ def q_incremental_reembed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_id"),
         F.max("doc_id").cast("bigint").alias("max_id"),
     )
+
+
+@query(
+    "url_canonicalize",
+    oracle=r"""
+WITH dirty AS (
+  SELECT doc_id,
+         'HTTPS://' || source || '.Example.COM' ||
+         CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+         '/' || lang || '/doc/' || doc_id ||
+         CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+         '?utm_source=crawler&id=' || doc_id || '&ref=share' ||
+         CASE WHEN doc_id % 3 = 0 THEN '&page=2' ELSE '' END ||
+         '#sec-' || doc_id % 5 AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              lower(regexp_extract(url, '^([^/]*//[^/?#]*)', 1))
+                || regexp_replace(url, '^[^/]*//[^/?#]*', ''),
+              '#.*$', '', 'g'),
+            '&(?:utm_[a-z]+|ref|fbclid)=[^&]*', '', 'g'),
+          '\?(?:utm_[a-z]+|ref|fbclid)=[^&]*&', '?', 'g'),
+        '\?(?:utm_[a-z]+|ref|fbclid)=[^&]*$', '', 'g'),
+      '^(https?://[^/:?#]*):(?:80|443)([/?#]|$)', '\1\2', 'g'),
+    '/(\?|$)', '\1', 'g') AS canonical_url
+  FROM dirty
+)
+SELECT doc_id, canonical_url,
+       regexp_extract(canonical_url, '^https?://([^/:?#]+)', 1) AS host
+FROM canon
+""",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization (functions/text.canonicalize_url)
+    over deterministically dirtied URLs: mixed-case scheme/host, default
+    port, trailing slash, utm_*/ref tracking params, fragments — the alias
+    classes a crawler's frontier must collapse before fetching (the
+    reference fetches every frontier entry verbatim, Crawling.py:40, and
+    dedups only at upsert time by id, TencentVDB.py:70).  Map-only regexp
+    chain; at 100 TB this runs inside the scan projection, no shuffle."""
+    from crawling_vectordb_llm_spark.functions.text import canonicalize_url
+
+    d = spark.read.parquet(table_path(sf_dir, "documents"))
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"), F.col("source"), F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/"), F.col("lang"), F.lit("/doc/"), F.col("doc_id"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=crawler&id="), F.col("doc_id"), F.lit("&ref=share"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("&page=2")).otherwise(F.lit("")),
+            F.lit("#sec-"), F.col("doc_id") % 5,
+        ).alias("url"),
+    )
+    canon = dirty.select("doc_id", canonicalize_url("url"))
+    return canon.withColumn(
+        "host", F.regexp_extract("canonical_url", r"^https?://([^/:?#]+)", 1)
+    )

@@ -604,3 +604,53 @@ def q_bin_render_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "shard_id", "pack_bin", "n_docs", F.md5(blob).alias("blob_md5")
     )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(w)),
+                               i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+  FROM toks WHERE len(w) >= 2
+), feats AS (
+  SELECT doc_id, (source IN ('src0', 'src1')) AS is_t,
+         (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) AS bucket
+  FROM grams
+), model AS (
+  SELECT bucket, COUNT(*) AS c_raw,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_tgt
+  FROM feats GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(c_raw) + 4096 AS DOUBLE) AS t_raw,
+         CAST(SUM(c_tgt) + 4096 AS DOUBLE) AS t_tgt
+  FROM model
+), scored AS (
+  SELECT f.doc_id,
+         CAST(ROUND(ln((m.c_tgt + 1) / t.t_tgt) - ln((m.c_raw + 1) / t.t_raw), 6)
+              AS DECIMAL(22,6)) AS lr
+  FROM feats f JOIN model m USING (bucket) CROSS JOIN tot t
+)
+SELECT doc_id, COUNT(*) AS n_feats,
+       ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS logratio
+FROM scored GROUP BY doc_id
+""",
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/importance.py): hashed-bigram bag
+    models for a target slice (sources src0/src1 stand in for the curated
+    domain) vs the raw corpus; every doc scored by its mean per-feature
+    log-likelihood ratio.  The two models are one 4096-row aggregation
+    each, broadcast back — the corpus shuffles once (final per-doc mean),
+    which is what lets the selection stage run ahead of embedding at
+    100 TB (the budget the reference's per-doc upsert loop burns,
+    TencentVDB.py:74-79)."""
+    from crawling_vectordb_llm_spark.operators.importance import dsir_importance
+
+    d = _docs(spark, sf_dir)
+    return dsir_importance(d, F.col("source").isin("src0", "src1"))
