@@ -61,6 +61,8 @@ HEADLINE = [
     "curation_pipeline",
     "similarity_pagerank",
     "window_anomaly_zscore",
+    "semantic_dedup",
+    "dsir_importance_weights",
 ]
 
 

@@ -108,14 +108,24 @@ def paragraph_dedup(
 def word_shingles(text_col: str, n: int = 3) -> F.Column:
     """n-token shingles as strings (distinct), pure array exprs.
 
-    Guarded: texts with < n tokens yield an empty array (sequence(1, k<1)
-    would otherwise generate a DESCENDING range in Spark)."""
+    Built by zip_with-ing n shifted slices of the token array rather than
+    a transform(sequence(...)) whose lambda captures the token array: a
+    captured `split()` is NOT common-subexpression-eliminated inside a
+    higher-order-function lambda, so the capture form re-splits the text
+    once per shingle — O(tokens^2) per document (measured 2.2x slower at
+    sf0.1).  Slices/zip_with evaluate the split a constant number of
+    times; the lambda touches only its own arguments.
+
+    Guarded: texts with < n tokens yield an empty array (a negative slice
+    length would otherwise throw)."""
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    sh = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
-    return F.when(F.size(toks) >= n, sh).otherwise(
+    m = F.size(toks) - (n - 1)
+    sh = F.slice(toks, 1, m)
+    for i in range(1, n):
+        sh = F.zip_with(
+            sh, F.slice(toks, i + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
 

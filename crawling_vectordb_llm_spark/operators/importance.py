@@ -37,9 +37,17 @@ def hashed_ngram_buckets(text_col: str, n: int = 2, n_buckets: int = 4096) -> F.
     feature stream.  Bucket = integer value of the first 3 hex chars of
     md5(ngram) (4096 exactly); engine-portable by construction."""
     assert n_buckets == 4096, "bucket space is pinned to 3 md5 hex chars"
+    # zip_with over shifted slices, not transform(sequence) — a lambda
+    # capturing the token array re-splits the text per gram (see
+    # operators/dedup.word_shingles); this form is non-distinct (bag
+    # counts are the model, unlike shingle sets)
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    m = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, i + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
     guarded = F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
@@ -70,9 +78,17 @@ def dsir_importance(
         target.alias("__is_target"),
         F.explode(hashed_ngram_buckets(text_col, n, n_buckets)).alias("bucket"),
     )
-    model = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum(F.col("__is_target").cast("long")).alias("c_tgt"),
+    # materialize the (<= n_buckets)-row model once: the feature stream is
+    # a full corpus pass (explode + md5 per n-gram) and must not be
+    # recomputed for the totals action and again for the scoring join —
+    # two corpus passes total (fit, score) is the DSIR scale shape
+    model = (
+        feats.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.col("__is_target").cast("long")).alias("c_tgt"),
+        )
+        .localCheckpoint()
     )
     totals = model.agg(
         F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
