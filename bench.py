@@ -63,6 +63,8 @@ HEADLINE = [
     "window_anomaly_zscore",
     "semantic_dedup",
     "dsir_importance_weights",
+    "interval_overlap_join",
+    "rolling_distinct_users_hll",
 ]
 
 

@@ -407,3 +407,79 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(
         resized.select("doc_id", F.col("width").alias("w_out")), "doc_id"
     )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+WITH raw AS (
+  SELECT l_suppkey AS s, l_orderkey * 10 + l_linenumber AS lid,
+         datediff('day', DATE '1970-01-01', l_shipdate) AS sd,
+         datediff('day', DATE '1970-01-01', l_shipdate)
+           + (l_orderkey + l_linenumber) % 14 + 1 AS ed
+  FROM lineitem
+), li AS (
+  SELECT s, lid, MIN(sd) AS sd, MAX(ed) AS ed FROM raw GROUP BY s, lid
+)
+SELECT a.s AS l_suppkey, COUNT(*) AS n_overlaps
+FROM li a JOIN li b
+  ON a.s = b.s AND a.lid < b.lid AND a.sd <= b.ed AND b.sd <= a.ed
+GROUP BY a.s
+""",
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: per supplier, count pairs of shipments
+    whose transit windows [shipdate, shipdate + derived duration] overlap
+    — concurrent-shipment load, the classic two-sided interval join Spark
+    has no native operator for.
+
+    Spark shape: BANDING — each interval explodes to the (few) weeks it
+    covers, the self-join runs as an EQUI-join on (supplier, week) that
+    Catalyst hash-partitions, the exact overlap predicate filters inside
+    matched bands, and distinct() collapses pairs sharing several bands.
+    The naive theta-join alternative is a per-supplier cross product
+    (O(n^2/suppliers) comparisons); banding does O(pairs-per-band) work
+    and every stage is a shuffle-partitioned hash join — at 100 TB the
+    band width is tuned so bucket sizes stay bounded (week >> max
+    transit keeps the explode factor <= 3 here).  Oracle: the O(n^2)
+    theta-join, tractable at sf0.01."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lid"),
+            F.datediff("l_shipdate", F.lit("1970-01-01")).alias("sd"),
+            (
+                F.datediff("l_shipdate", F.lit("1970-01-01"))
+                + (F.col("l_orderkey") + F.col("l_linenumber")) % 14 + 1
+            ).alias("ed"),
+        )
+        # the fixture repeats (orderkey, linenumber) rows: collapse each
+        # logical shipment line to ONE interval [first ship, last arrival]
+        # so the pair universe is well-defined (lid unique per supplier)
+        .groupBy("l_suppkey", "lid")
+        .agg(F.min("sd").alias("sd"), F.max("ed").alias("ed"))
+    )
+    banded = li.withColumn(
+        "wk",
+        F.explode(F.sequence(F.floor(F.col("sd") / 7), F.floor(F.col("ed") / 7))),
+    )
+    a = banded.select(
+        F.col("l_suppkey"), F.col("wk"),
+        F.col("lid").alias("a_lid"), F.col("sd").alias("a_sd"), F.col("ed").alias("a_ed"),
+    )
+    b = banded.select(
+        F.col("l_suppkey"), F.col("wk"),
+        F.col("lid").alias("b_lid"), F.col("sd").alias("b_sd"), F.col("ed").alias("b_ed"),
+    )
+    pairs = (
+        a.join(b, ["l_suppkey", "wk"])
+        .where(
+            (F.col("a_lid") < F.col("b_lid"))
+            & (F.col("a_sd") <= F.col("b_ed"))
+            & (F.col("b_sd") <= F.col("a_ed"))
+        )
+        .select("l_suppkey", "a_lid", "b_lid")
+        .distinct()
+    )
+    return pairs.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_overlaps"))

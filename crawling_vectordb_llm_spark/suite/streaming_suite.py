@@ -374,3 +374,47 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("uniq_users_7d").alias("uniq_users_7d"))
     )
+
+
+@query("rolling_distinct_users_hll")
+def q_rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per event type via HLL sketches —
+    the 100 TB replacement for the exact collect_set bridge
+    (rolling_distinct_users): raw events collapse to ONE Datasketches
+    HLL sketch per (event_type, day) in a single shuffle, and every
+    downstream stage touches only the tiny sketch table (days x types
+    rows).  The 7-day union is a range join day -> [day-6, day] over
+    that table followed by hll_union_agg + hll_sketch_estimate — exact
+    set state never materializes, and sketches merge associatively so
+    the same plan runs as a streaming foreachBatch maintenance job.
+    Approximate by design (~2% at lgK=12) -> rows-only gate; the
+    accuracy bound vs the exact query is pinned in
+    tests/test_extended_ops.py."""
+    ev = read_table(spark, sf_dir, "events")
+    day_sk = (
+        ev.select(
+            "event_type",
+            F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01")).alias("day_n"),
+            "user_id",
+        )
+        .groupBy("event_type", "day_n")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    days = day_sk.select("event_type", F.col("day_n").alias("d"))
+    rolled = (
+        days.join(
+            day_sk,
+            (days["event_type"] == day_sk["event_type"])
+            & (day_sk["day_n"] >= days["d"] - 6)
+            & (day_sk["day_n"] <= days["d"]),
+        )
+        .groupBy(days["event_type"], "d")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uniq_users_7d_est"))
+    )
+    return rolled.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("d") * 86400).cast("date"), "yyyy-MM-dd"
+        ).alias("day"),
+        "uniq_users_7d_est",
+    )

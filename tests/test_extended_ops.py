@@ -206,3 +206,24 @@ def test_nfc_normalize_agrees_with_duckdb_on_planted_forms(spark):
     # composed/decomposed pairs land on the same bytes
     assert got[0] == got[1]
     assert got[3] == got[4]
+
+
+def test_hll_rolling_matches_exact_within_tolerance(spark):
+    """The HLL sketch variant must track the exact collect_set variant
+    within the lgK=12 error envelope (~2-3%) on every (type, day)."""
+    from crawling_vectordb_llm_spark.suite import QUERIES
+
+    from .conftest import SF_MEDIUM
+
+    exact = {
+        (r["event_type"], r["day"]): r["uniq_users_7d"]
+        for r in QUERIES["rolling_distinct_users"](spark, SF_MEDIUM).collect()
+    }
+    est = {
+        (r["event_type"], r["day"]): r["uniq_users_7d_est"]
+        for r in QUERIES["rolling_distinct_users_hll"](spark, SF_MEDIUM).collect()
+    }
+    assert set(exact) == set(est), "same (event_type, day) key universe"
+    for k, v in exact.items():
+        rel = abs(est[k] - v) / max(v, 1)
+        assert rel <= 0.05, (k, v, est[k], rel)
