@@ -399,6 +399,10 @@ def q_rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "day_n")
         .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        # materialize: the sketch table is the index artifact (days x types
+        # rows); without this the `days` branch re-scans and re-shuffles
+        # the raw events to rebuild it
+        .localCheckpoint()
     )
     days = day_sk.select("event_type", F.col("day_n").alias("d"))
     rolled = (

@@ -102,3 +102,47 @@ def test_quality_band_bounds_broadcast(spark):
     plan = plan_of(spark, "quality_band_filter")
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_interval_overlap_stays_equi_join(spark):
+    """Banding must plan as a HASH join on (supplier, week) with the
+    overlap predicate as a join-condition filter — a
+    BroadcastNestedLoopJoin or CartesianProduct here means the band keys
+    stopped matching and the join degenerated to the O(n^2) theta form."""
+    plan = plan_of(spark, "interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+    # 4 of lineitem's 11 columns survive column pruning
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    cols = scan.split("FileScan parquet [", 1)[1].split("]", 1)[0].split(",")
+    assert len(cols) == 4, cols
+
+
+def test_dsir_model_broadcasts_back(spark):
+    """The 4096-row hashed-bigram model must ride a broadcast onto the
+    feature stream; the corpus itself shuffles only for the final
+    per-doc mean."""
+    plan = plan_of(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_url_canonicalize_is_map_only(spark):
+    """The whole regexp chain must fuse into the scan projection — any
+    Exchange here is a planner regression (it's a pure per-row op)."""
+    plan = plan_of(spark, "url_canonicalize")
+    assert "Exchange" not in plan
+
+
+def test_hll_rolling_shuffles_raw_events_once(spark):
+    """Raw events collapse to day sketches in ONE shuffle; the 7-day
+    union must join/aggregate only the sketch table (no second exchange
+    keyed on raw event columns)."""
+    plan = plan_of(spark, "rolling_distinct_users_hll")
+    assert "hll_union_agg" in plan
+    # the raw-event scan was collapsed into the checkpointed sketch table:
+    # no FileScan of events remains, and the only shuffle left is the
+    # union agg over sketch rows (plus the tiny days broadcast)
+    assert "FileScan" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in plan
