@@ -131,3 +131,64 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
     )
     return labels.unionAll(roots)
+
+
+def triangle_counts(
+    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected pair graph — the
+    clustering-coefficient numerator used to find tightly-knit duplicate
+    neighborhoods the pairwise threshold alone can't see.
+
+    Degree-oriented wedge algorithm (Cohen, "Graph Twiddling in a
+    MapReduce World", 2009): orient every edge from its lower-(degree,id)
+    endpoint to the higher, enumerate wedges only at each edge's SOURCE,
+    and close them against the canonical edge set.  Orientation bounds
+    wedge fan-out by sqrt(|E|) per node (a celebrity node of degree d
+    contributes wedges only through neighbors that out-rank it), which is
+    what keeps the wedge join from exploding on skewed similarity graphs
+    — the id-ordered naive join would square the hub degree.  Three
+    shuffles total: degree agg, wedge self-join, closing join.
+
+    Returns (node long, n_triangles long), nodes in >= 1 triangle.
+    """
+    canon = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = canon.unionAll(canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # orient: src = endpoint with smaller (deg, id); degree table is
+    # |nodes| rows — broadcast onto the edge list twice, map-side
+    with_deg = (
+        canon.join(F.broadcast(deg.withColumnRenamed("u", "u_")), F.col("u") == F.col("u_"))
+        .drop("u_")
+        .withColumnRenamed("deg", "deg_u")
+        .join(F.broadcast(deg.withColumnRenamed("u", "v_")), F.col("v") == F.col("v_"))
+        .drop("v_")
+        .withColumnRenamed("deg", "deg_v")
+    )
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("d1"))
+    o2 = oriented.select("src", F.col("dst").alias("d2"))
+    wedges = o1.join(o2, "src").where(F.col("d1") < F.col("d2"))
+    closed = wedges.join(
+        canon.select(
+            F.col("u").alias("cu"), F.col("v").alias("cv")
+        ),
+        (F.least("d1", "d2") == F.col("cu")) & (F.greatest("d1", "d2") == F.col("cv")),
+    ).select("src", "d1", "d2")
+    nodes = closed.select(
+        F.explode(F.array("src", "d1", "d2")).alias("node")
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -274,3 +274,38 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     return semantic_dedup(emb, tau=0.4, n_clusters=8, seed=42)
+
+
+@query(
+    "triangle_count",
+    oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.35
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node AS vec_id, COUNT(*) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+GROUP BY node
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the cosine>=0.35 similarity graph
+    (operators/components.triangle_counts) — dense duplicate
+    neighborhoods show up as high triangle participation even when no
+    single pair crosses a tighter threshold.  The Spark side runs the
+    degree-oriented wedge algorithm (skew-safe at 100 TB); the oracle is
+    the naive id-ordered 3-way self-join, tractable at sf0.01."""
+    from crawling_vectordb_llm_spark.operators.components import triangle_counts
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    pairs = threshold_similarity_join(emb, None, tau=0.35).select("a_id", "b_id")
+    return triangle_counts(pairs).select(
+        F.col("node").alias("vec_id"), "n_triangles"
+    )

@@ -483,3 +483,58 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
+@query(
+    "scd2_dimension",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       COALESCE(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f'),
+                '9999-12-31 00:00:00.000000') AS valid_to,
+       CAST(row_number() OVER w AS INT) AS version,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""",
+)
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from a change log: per user,
+    consecutive duplicate states collapse and each surviving state gets
+    [valid_from, valid_to) plus a version number and current flag — the
+    standard warehouse compaction of CDC streams (the reference's analog
+    is upsert-by-id overwrite, TencentVDB.py:70, which keeps only the
+    LAST state; SCD2 keeps the history queryably).
+
+    Scale shape: both windows partition by user_id, so one hash shuffle
+    covers the lag-filter and the lead/version pass; no global sort."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_type", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w1))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.lit("9999-12-31 00:00:00.000000"),
+        ).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        nxt.isNull().alias("is_current"),
+    )

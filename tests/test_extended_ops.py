@@ -227,3 +227,20 @@ def test_hll_rolling_matches_exact_within_tolerance(spark):
     for k, v in exact.items():
         rel = abs(est[k] - v) / max(v, 1)
         assert rel <= 0.05, (k, v, est[k], rel)
+
+
+def test_triangle_counts_planted_graph(spark):
+    """K4 on {1,2,3,4} (4 triangles, each node in 3) + a pendant edge and
+    an isolated pair (never in a triangle) + a duplicate/reversed edge
+    (must not double-count)."""
+    from crawling_vectordb_llm_spark.operators.components import triangle_counts
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (2, 1),          # reversed duplicate
+        (4, 5),          # pendant
+        (8, 9),          # isolated pair
+    ]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
