@@ -94,11 +94,45 @@ def _checkpoint_with_fingerprint(
         return cp, _fingerprint(cp)
 
 
+def _driver_union_find(rows: list, spark) -> DataFrame:
+    """Small-graph fast path: path-compressed union-find on the driver.
+    Produces EXACTLY the labels the distributed fixpoint produces
+    (component id = min node id), so callers and oracles can't tell the
+    paths apart."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN root so the final label is the component min
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"node": list(parent.keys()), "component": [find(n) for n in parent]}
+    ).astype("int64")
+    # Arrow path: cheap even at ~1M nodes; explicit schema for the
+    # empty-graph case (pandas inference has nothing to infer from)
+    return spark.createDataFrame(out, "node long, component long")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_rounds: int = 12,
+    max_driver_edges: int = 500_000,
 ) -> DataFrame:
     """Resolve an undirected pair list to (node, component) labels,
     component id = min node id in the component.
@@ -108,13 +142,26 @@ def connected_components(
     callers attach them with a left join + coalesce(component, id)
     (see `dedup_clusters` in the suite), keeping this operator a pure
     graph kernel.
-    """
+
+    Adaptive physical choice (the iterative analog of AQE's size-based
+    join selection): the distinct edge count is already known from the
+    init-checkpoint fingerprint; at or below `max_driver_edges` (~8 MB
+    of longs) the O(rounds) shuffle ladder costs more than collecting the
+    edges and running path-compressed union-find on the driver, so small
+    graphs take that path — byte-identical labels, ~6 shuffle stages
+    saved.  Above it, the alternating large-star/small-star fixpoint runs
+    distributed; dup graphs at 100 TB land there, but their SURVIVING
+    edge lists after upstream near-dup pruning often do not."""
     canon = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
     edges, prev = _checkpoint_with_fingerprint(canon, "cc_init")
+    if prev[0] <= max_driver_edges:
+        return _driver_union_find(
+            [(r["u"], r["v"]) for r in edges.collect()], pairs.sparkSession
+        )
     for i in range(max_rounds):
         nxt = _star_round(_star_round(edges, large=True), large=False)
         edges, cur = _checkpoint_with_fingerprint(nxt, f"cc_round_{i}")

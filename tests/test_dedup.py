@@ -3,6 +3,7 @@ MinHash-LSH and SimHash; exact dedup groups exact copies."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from crawling_vectordb_llm_spark.catalog import read_table
@@ -63,9 +64,12 @@ def test_simhash_identical_texts_hamming_zero(spark):
         assert ham.get((i, i + 1000)) == 0, f"exact copies ({i},{i+1000}) hamming != 0"
 
 
-def test_connected_components_planted_topologies(spark):
+@pytest.mark.parametrize("mde", [0, 500_000])  # distributed / driver path
+def test_connected_components_planted_topologies(spark, mde):
     """Chain (diameter stress), triangle, pair, and star must all resolve
-    to min-id components; singletons are the caller's left-join concern."""
+    to min-id components; singletons are the caller's left-join concern.
+    Both physical paths (star rounds with max_driver_edges=0, union-find
+    fast path otherwise) must produce identical labels."""
     from crawling_vectordb_llm_spark.operators.components import (
         connected_components,
     )
@@ -83,7 +87,7 @@ def test_connected_components_planted_topologies(spark):
     df = spark.createDataFrame(edges, "a_id long, b_id long")
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, max_driver_edges=mde).collect()
     }
     want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
             10: 10, 11: 10, 12: 10,
@@ -97,11 +101,15 @@ def test_connected_components_empty_and_self_loops(spark):
         connected_components,
     )
 
-    empty = spark.createDataFrame([], "a_id long, b_id long")
-    assert connected_components(empty).count() == 0
-    loops = spark.createDataFrame([(7, 7), (8, 9)], "a_id long, b_id long")
-    got = {r["node"]: r["component"] for r in connected_components(loops).collect()}
-    assert got == {8: 8, 9: 8}
+    for mde in (0, 500_000):
+        empty = spark.createDataFrame([], "a_id long, b_id long")
+        assert connected_components(empty, max_driver_edges=mde).count() == 0
+        loops = spark.createDataFrame([(7, 7), (8, 9)], "a_id long, b_id long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(loops, max_driver_edges=mde).collect()
+        }
+        assert got == {8: 8, 9: 8}
 
 
 def test_connected_components_matches_union_find_on_random_graphs(spark):
@@ -139,11 +147,12 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         nodes_in_edges = {x for e in edges for x in e}
         want = {x: find(x) for x in nodes_in_edges}
         df = spark.createDataFrame(edges, "a_id long, b_id long")
-        got = {
-            r["node"]: r["component"]
-            for r in connected_components(df).collect()
-        }
-        assert got == want, f"seed {seed}: {got} != {want}"
+        for mde in (0, 500_000):
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(df, max_driver_edges=mde).collect()
+            }
+            assert got == want, f"seed {seed} mde {mde}: {got} != {want}"
 
 
 def test_int8_quantization_error_bound(spark):
