@@ -280,3 +280,37 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(22,6)")).cast("double"), 6
         ).alias("total_price"),
     )
+
+
+@query(
+    "variant_props_extract",
+    oracle="""
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
+GROUP BY event_type, k_bucket
+""",
+)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4.x):
+    parse_json once into the binary variant encoding, then typed
+    variant_get path extraction — the modern engine's answer to repeated
+    get_json_object string re-parsing (json_extract/json_funcs2 cover the
+    classic path).  At 100 TB the variant column is parsed once at ingest
+    and every downstream field access is a binary offset read, not a
+    JSON re-parse."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    ).where(F.col("k").isNotNull())
+    return (
+        v.groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+        )
+    )

@@ -287,3 +287,56 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.withColumn(
         "host", F.regexp_extract("canonical_url", r"^https?://([^/:?#]+)", 1)
     )
+
+
+@query(
+    "recursive_cte_reachability",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.35
+), reach(node, depth) AS (
+  SELECT vec_id, 0 FROM embeddings WHERE vec_id < 5
+  UNION ALL
+  SELECT p.v, r.depth + 1
+  FROM reach r JOIN pairs p ON p.u = r.node
+  WHERE r.depth < 3
+)
+SELECT node AS vec_id, CAST(MIN(depth) AS INT) AS hops
+FROM reach GROUP BY node
+""",
+)
+def q_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4.x): shortest-hop distance (<= 3)
+    from seed vectors over the cosine>=0.35 similarity graph, expressed
+    as a recursive CTE instead of the driver-side iterate-to-fixpoint
+    loops used by flatten_tree/crawl_bfs — the declarative form of the
+    same frontier expansion (SURVEY §2.3 F1), UNION ALL + depth bound +
+    MIN(depth) because Spark's recursion doesn't support distinct UNION
+    yet.  The engine unrolls each step as a joined stage; path count is
+    bounded by seed_count x max_degree^depth (max degree 11 on the
+    fixture graph)."""
+    from crawling_vectordb_llm_spark.operators.knn import (
+        threshold_similarity_join,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    pairs = threshold_similarity_join(emb, None, tau=0.35).select("a_id", "b_id")
+    sym = pairs.unionAll(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    sym.createOrReplaceTempView("__sim_edges")
+    emb.select("vec_id").createOrReplaceTempView("__sim_nodes")
+    return spark.sql("""
+        WITH RECURSIVE reach(node, depth) AS (
+          SELECT vec_id, 0 FROM __sim_nodes WHERE vec_id < 5
+          UNION ALL
+          SELECT e.b_id, r.depth + 1
+          FROM reach r JOIN __sim_edges e ON e.a_id = r.node
+          WHERE r.depth < 3
+        )
+        SELECT node AS vec_id, CAST(MIN(depth) AS INT) AS hops
+        FROM reach GROUP BY node
+    """)
