@@ -88,3 +88,97 @@ def run_streaming_user_totals(spark: SparkSession, parquet_path: str) -> DataFra
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+class UserTotalsProcessor:
+    """transformWithStateInPandas processor (Spark 4 arbitrary-state API):
+    per-user running (count, decimal-micro total) — the same state machine
+    as `_update_user_totals` re-expressed against the typed-state handle
+    API (value state instead of the (tuple,) GroupState blob).  Requires
+    the RocksDB state-store provider; see run_tws_user_totals.
+
+    Lazy base class resolution: pyspark.sql.streaming.StatefulProcessor
+    exists only on Spark >= 4.0 — this module must stay importable on
+    3.x, so the class is built at call time."""
+
+    @staticmethod
+    def build():
+        import pandas as pd
+        from pyspark.sql.streaming import StatefulProcessor
+
+        class _P(StatefulProcessor):
+            def init(self, handle):
+                from pyspark.sql.types import (
+                    LongType, StructField, StructType,
+                )
+
+                self._state = handle.getValueState(
+                    "totals",
+                    StructType([
+                        StructField("n", LongType()),
+                        StructField("total_micros", LongType()),
+                    ]),
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, micros = (
+                    self._state.get() if self._state.exists() else (0, 0)
+                )
+                for pdf in rows:
+                    n += len(pdf)
+                    micros += int(
+                        (pdf["value"] * 1_000_000).round().astype("int64").sum()
+                    )
+                self._state.update((n, micros))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_value": [micros / 1_000_000],
+                    }
+                )
+
+            def close(self):
+                pass
+
+        return _P()
+
+
+def run_tws_user_totals(spark: SparkSession, parquet_path: str, max_files: int = 1):
+    """Streaming per-user totals through transformWithStateInPandas.
+    Returns the raw memory-sink DataFrame (one emission per key per
+    micro-batch touching it); callers reduce to the max-n row per key.
+    The RocksDB state store is required by the API and set on THIS
+    session (scoped, not global)."""
+    import uuid
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = spark.read.parquet(parquet_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files))
+        .parquet(parquet_path)
+    )
+    out = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotalsProcessor.build(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

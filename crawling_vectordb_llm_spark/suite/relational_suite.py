@@ -584,3 +584,35 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("status_P"),
         )
     )
+
+
+@query(
+    "lateral_topk_per_group",
+    oracle="""
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+) t
+""",
+)
+def q_lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): top-3 customers
+    per nation expressed as a per-row dependent subquery.  Catalyst
+    decorrelates it into the same window/rank plan as window_rank_topk —
+    the point is the SQL surface parity, and the plan proves the
+    decorrelation (no per-nation re-scan of customer survives
+    optimization)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    return spark.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM __lat_nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM __lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        ) t
+    """)

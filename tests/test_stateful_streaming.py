@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import uuid
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -71,5 +72,59 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     }
     assert final == expected
     # and emissions really did span two batches for at least one key
+    multi = sink.groupBy("user_id").count().where(F.col("count") > 1).count()
+    assert multi > 0
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (its state "
+    "server speaks protobuf); not installed in this container",
+)
+def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas (typed value state + RocksDB
+    provider) must produce the same per-user totals as the batch
+    aggregation, accumulating across micro-batches."""
+    from crawling_vectordb_llm_spark.streaming.stateful import (
+        run_tws_user_totals,
+    )
+
+    events = read_table(spark, SF_SMALL, "events")
+    first = events.where(F.col("event_id") < 500)
+    second = events.where(F.col("event_id") >= 500)
+    src = str(tmp_path / "tws_src")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    sink = run_tws_user_totals(spark, src, max_files=1)
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in sink.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+        .collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long")).cast("double")
+                / 1_000_000,
+                6,
+            ).alias("t"),
+        )
+        .collect()
+    }
+    assert final == expected
     multi = sink.groupBy("user_id").count().where(F.col("count") > 1).count()
     assert multi > 0
