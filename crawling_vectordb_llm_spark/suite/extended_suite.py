@@ -459,6 +459,8 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so the pair universe is well-defined (lid unique per supplier)
         .groupBy("l_suppkey", "lid")
         .agg(F.min("sd").alias("sd"), F.max("ed").alias("ed"))
+        # both self-join sides read this aggregation; materialize it once
+        .localCheckpoint()
     )
     banded = li.withColumn(
         "wk",

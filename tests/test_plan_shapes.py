@@ -113,10 +113,9 @@ def test_interval_overlap_stays_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan
-    # 4 of lineitem's 11 columns survive column pruning
-    scan = next(l for l in plan.splitlines() if "FileScan" in l)
-    cols = scan.split("FileScan parquet [", 1)[1].split("]", 1)[0].split(",")
-    assert len(cols) == 4, cols
+    # the interval table is checkpointed (both self-join sides read it),
+    # so the pruned FileScan sits behind the RDD scan boundary here; scan
+    # pruning itself is pinned by test_filter_and_projection_pushed_to_scan
 
 
 def test_dsir_model_broadcasts_back(spark):
