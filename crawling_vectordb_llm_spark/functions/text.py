@@ -148,4 +148,9 @@ def canonicalize_url(c: Column | str) -> Column:
     no_port = F.regexp_replace(
         no_track, r"^(https?://[^/:?#]*):(?:80|443)([/?#]|$)", r"$1$2"
     )
-    return F.regexp_replace(no_port, r"/(\?|$)", r"$1").alias("canonical_url")
+    # /+ not /: 'path//' must canonicalize in ONE pass or the op isn't
+    # idempotent (re-crawled frontiers would mutate already-canonical
+    # URLs); [^/] guard keeps the scheme's // intact
+    return F.regexp_replace(
+        no_port, r"([^/])/+(\?|$)", r"$1$2"
+    ).alias("canonical_url")

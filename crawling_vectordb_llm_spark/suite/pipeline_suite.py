@@ -252,7 +252,7 @@ WITH dirty AS (
           '\?(?:utm_[a-z]+|ref|fbclid)=[^&]*&', '?', 'g'),
         '\?(?:utm_[a-z]+|ref|fbclid)=[^&]*$', '', 'g'),
       '^(https?://[^/:?#]*):(?:80|443)([/?#]|$)', '\1\2', 'g'),
-    '/(\?|$)', '\1', 'g') AS canonical_url
+    '([^/])/+(\?|$)', '\1\2', 'g') AS canonical_url
   FROM dirty
 )
 SELECT doc_id, canonical_url,

@@ -136,3 +136,26 @@ def test_semantic_dedup_fixture_nontrivial(spark):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
     out = semantic_dedup(emb, tau=0.4, n_clusters=8, seed=42).toPandas()
     assert 0 < out["keep"].sum() < len(out)
+
+
+def test_canonicalize_url_idempotent(spark):
+    """A canonicalizer that isn't idempotent corrupts the frontier on
+    re-crawl (already-canonical URLs mutate again).  Hypothesis-style
+    sweep over the URL alias grammar, batched through one Spark job."""
+    from hypothesis import strategies as st
+
+    url_st = st.from_regex(
+        r"https?://[A-Za-z0-9.]{1,12}(:\d{2,4})?(/[A-Za-z0-9_]{0,8}){0,3}/?"
+        r"(\?(utm_[a-z]{1,3}|ref|id|q)=[A-Za-z0-9]{0,5}"
+        r"(&(utm_[a-z]{1,3}|ref|id|q)=[A-Za-z0-9]{0,5}){0,3})?"
+        r"(#[A-Za-z0-9]{0,5})?",
+        fullmatch=True,
+    )
+    urls = [url_st.example() for _ in range(150)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonicalize_url("url").alias("c1")
+    out = df.select(
+        "url", once, canonicalize_url(canonicalize_url("url")).alias("c2")
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], (r["url"], r["c1"], r["c2"])

@@ -24,7 +24,9 @@ from crawling_vectordb_llm_spark.operators.dedup import (
     minhash_near_dup_pairs,
     paragraph_dedup,
 )
+from crawling_vectordb_llm_spark.operators.importance import dsir_importance
 from crawling_vectordb_llm_spark.operators.pq import pq_adc_shortlist, pq_encode, pq_train
+from crawling_vectordb_llm_spark.operators.semdedup import semantic_dedup
 from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy, threshold_similarity_join
 from crawling_vectordb_llm_spark.session import get_spark
 from crawling_vectordb_llm_spark.streaming.windows import sessionize_batch, tumbling_agg
@@ -127,6 +129,12 @@ def main() -> None:
             ).count(),
             "cc_components": lambda: connected_components(
                 replicate(base_pairs, copies, ["a_id", "b_id"])
+            ).count(),
+            "dsir": lambda: dsir_importance(
+                D, F.col("source").isin("src0", "src1")
+            ).count(),
+            "semantic_dedup": lambda: semantic_dedup(
+                V, tau=0.4, n_clusters=8 * copies
             ).count(),
         }
         for name, fn in cases.items():
