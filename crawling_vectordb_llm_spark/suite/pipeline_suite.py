@@ -340,3 +340,40 @@ def q_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node AS vec_id, CAST(MIN(depth) AS INT) AS hops
         FROM reach GROUP BY node
     """)
+
+
+@query(
+    "python_datasource_crawl",
+    oracle="""
+SELECT 'https://site.example/page/' || CAST(i AS VARCHAR) AS url,
+       'Page ' || CAST(i AS VARCHAR) AS title,
+       CAST(20 AS INT) AS n_tokens,
+       array_to_string(
+         list_transform(range(0, 20), j -> 'w' || CAST((i * 7 + j) % 13 AS VARCHAR)),
+         ' ') AS text
+FROM range(0, 300) t(i)
+""",
+)
+def q_python_datasource_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl as a pluggable Spark source (Python Data Source API,
+    sources/crawl_datasource.py): URL space split across input
+    partitions, each task materializes its slice, downstream ops are
+    ordinary lazy planning.  The oracle regenerates the identical
+    deterministic corpus from range() — proving the source is a pure
+    function of its options, which is what makes task-retry-as-crawl-
+    retry sound."""
+    from crawling_vectordb_llm_spark.sources import crawl_datasource
+
+    crawl_datasource.register(spark)
+    df = (
+        spark.read.format("synthetic_crawl")
+        .option("pages", "300")
+        .option("numpartitions", "8")
+        .load()
+    )
+    return df.select(
+        "url",
+        "title",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        "text",
+    )

@@ -78,3 +78,29 @@ def test_shard_partitioned_sorted_write_layout(spark, tmp_path):
     assert ids == sorted(ids)
     full = spark.read.parquet(out)
     assert full.count() == docs.count()
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """The crawl source must split the URL space across exactly the
+    requested input partitions (partition count == task parallelism ==
+    politeness knob) and be a pure function of its options."""
+    from crawling_vectordb_llm_spark.sources import crawl_datasource
+
+    crawl_datasource.register(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_crawl")
+            .option("pages", "120")
+            .option("numpartitions", str(parts))
+            .load()
+        )
+
+    df = load(5)
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 120
+    # same rows regardless of partitioning (round-robin is a layout
+    # choice, not a semantic one)
+    a = sorted(r["url"] for r in load(3).collect())
+    b = sorted(r["url"] for r in load(11).collect())
+    assert a == b
