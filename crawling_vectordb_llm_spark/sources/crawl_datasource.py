@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _fake_fetch(page_id: int) -> tuple[str, str, str]:
@@ -68,3 +73,47 @@ class CrawlDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(CrawlDataSource)
+
+
+class CrawlStreamReader(SimpleDataSourceStreamReader):
+    """Streaming frontier: each micro-batch fetches the next
+    `batchpages` slice of the URL space; the engine persists the page
+    offset in the checkpoint, so a stopped/restarted crawl resumes
+    exactly where it left off (durable frontier, exactly-once pages —
+    the property the reference's in-memory appendUrlList loses on every
+    crash, Crawling.py:9-10)."""
+
+    def __init__(self, options: dict) -> None:
+        self.batch = int(options.get("batchpages", "10"))
+        self.max_pages = int(options.get("pages", "64"))
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict):
+        s = start["page"]
+        e = min(s + self.batch, self.max_pages)
+        return ([_fake_fetch(p) for p in range(s, e)], {"page": e})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path after failure: offsets alone reproduce the slice
+        return [_fake_fetch(p) for p in range(start["page"], end["page"])]
+
+
+class CrawlStreamDataSource(DataSource):
+    """`spark.readStream.format("synthetic_crawl_stream")...` — the
+    frontier as a restartable stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_crawl_stream"
+
+    def schema(self) -> str:
+        return "url string, title string, text string"
+
+    def simpleStreamReader(self, schema) -> CrawlStreamReader:
+        return CrawlStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(CrawlStreamDataSource)

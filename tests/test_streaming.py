@@ -139,3 +139,42 @@ def test_checkpoint_restart_processes_each_file_once(spark, tmp_path):
     got = spark.read.parquet(store)
     assert got.count() == 35  # +5 new, 30 old NOT reprocessed
     assert sorted(r["id"] for r in got.collect()) == list(range(35))
+
+
+def test_streaming_crawl_source_resumes_frontier(spark, tmp_path):
+    """synthetic_crawl_stream: three availableNow runs sharing one
+    checkpoint must fetch pages 0-9, 10-19, 20-29 — a durable frontier
+    that survives restarts with no refetch and no gap (the reference's
+    in-memory appendUrlList loses the frontier on every crash,
+    Crawling.py:9-10)."""
+    from pyspark.sql import functions as F
+
+    from crawling_vectordb_llm_spark.sources.crawl_datasource import (
+        register_stream,
+    )
+
+    register_stream(spark)
+    out = str(tmp_path / "crawl_out")
+    ckpt = str(tmp_path / "crawl_ckpt")
+    for _ in range(3):
+        q = (
+            spark.readStream.format("synthetic_crawl_stream")
+            .option("batchpages", "10")
+            .option("pages", "1000")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 30  # no refetch (exactly-once), no gap
+    ids = sorted(
+        int(r["url"].rsplit("/", 1)[1]) for r in got.select("url").collect()
+    )
+    assert ids == list(range(30))
+    # and the text is the deterministic corpus
+    first = got.where(F.col("url").endswith("/0")).first()
+    assert first["text"].startswith("w0 w1 w2")
