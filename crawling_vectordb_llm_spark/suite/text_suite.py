@@ -588,3 +588,94 @@ def compression_ratio_kernel():
             )
 
     return _ratio
+
+
+@query(
+    "bigram_logprob_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> {'h': w[i], 't': w[i + 1]})) AS g
+  FROM toks WHERE len(w) >= 2
+), big AS (
+  SELECT doc_id, g.h AS head, g.t AS tail FROM grams
+), bigc AS (
+  SELECT head, tail, COUNT(*) AS c2 FROM big GROUP BY head, tail
+), unic AS (
+  SELECT head, SUM(c2) AS c1 FROM bigc GROUP BY head
+), tot AS (
+  SELECT CAST(SUM(c2) AS DOUBLE) AS n,
+         CAST(COUNT(DISTINCT tail) AS DOUBLE) AS v
+  FROM bigc
+), scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(ln(0.7 * (bc.c2 / u.c1)
+                     + 0.3 * ((SELECT SUM(c2) FROM bigc x WHERE x.tail = b.tail)
+                              / t.n)), 6) AS DECIMAL(22,6)) AS lp
+  FROM big b
+  JOIN bigc bc ON bc.head = b.head AND bc.tail = b.tail
+  JOIN unic u ON u.head = b.head
+  CROSS JOIN tot t
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality (the next rung above
+    unigram_logprob_score): p(t|h) = 0.7·ML(t|h) + 0.3·p_unigram(t),
+    each doc scored by its mean bigram log-probability — catches
+    scrambled-word-order gibberish a unigram model scores as fluent.
+
+    Scale shape: the bigram/unigram/tail count tables are Zipf-small
+    (vocab² bounded by observed pairs) and broadcast back onto the
+    bigram stream; the corpus shuffles once for the final per-doc mean.
+    Per-bigram logprobs round at 6 dp and sum as decimals (registry
+    determinism rules)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    m = F.size(toks) - 1
+    grams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda x, y: F.struct(x.alias("head"), y.alias("tail")),
+    )
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(toks) >= 2, grams).otherwise(
+                F.array().cast("array<struct<head:string,tail:string>>")
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.head", "g.tail")
+    bigc = big.groupBy("head", "tail").agg(F.count(F.lit(1)).alias("c2"))
+    bigc = bigc.localCheckpoint()  # 3 consumers below; count once
+    unic = bigc.groupBy("head").agg(F.sum("c2").alias("c1"))
+    tailc = bigc.groupBy("tail").agg(F.sum("c2").alias("ct"))
+    n_total = float(bigc.agg(F.sum("c2")).first()[0])
+    scored = (
+        big.join(F.broadcast(bigc), ["head", "tail"])
+        .join(F.broadcast(unic), "head")
+        .join(F.broadcast(tailc), "tail")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    0.7 * (F.col("c2") / F.col("c1"))
+                    + 0.3 * (F.col("ct") / F.lit(n_total))
+                ),
+                6,
+            )
+            .cast("decimal(22,6)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+    )
