@@ -377,3 +377,79 @@ def q_python_datasource_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tokens"),
         "text",
     )
+
+
+@query("e2e_crawl_to_answer")
+def q_e2e_crawl_to_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE reference, one lazy plan: crawl source (S1 via the
+    Python Data Source) → clean (P4-P6) → batch embed (S5's server-side
+    embedding as an iterator pandas_udf) → top-3 cosine search per query
+    (J1) → score-ordered context concat (F2) → prompt template + truncate
+    (P8/P9) → deterministic generation stand-in (G1) → citation append
+    (P10).  No action until the driver collects — every stage is plan
+    nodes, so Catalyst prunes columns through the UDF boundaries and the
+    crawl partitions stream straight into embedding without a
+    materialization.  Rows-only gate (hash embeddings aren't
+    SQL-expressible); determinism pinned by the crawl source + hash
+    encoder + fake generator all being pure functions."""
+    from crawling_vectordb_llm_spark.embedding import make_embed_udf
+    from crawling_vectordb_llm_spark.functions.text import clean_text
+    from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy
+    from crawling_vectordb_llm_spark.plans.generate import rag_generate
+    from crawling_vectordb_llm_spark.sources import crawl_datasource
+
+    crawl_datasource.register(spark)
+    pages = (
+        spark.read.format("synthetic_crawl")
+        .option("pages", "200")
+        .option("numpartitions", "8")
+        .load()
+    )
+    embed = make_embed_udf(dim=64)
+    corpus = pages.select(
+        F.col("url").alias("id"),
+        "title",
+        clean_text("text").alias("text"),
+    ).withColumn("vector", embed(F.col("text")))
+
+    queries = corpus.where(
+        F.col("id").rlike("/page/[0-2]$")
+    ).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("query_vec")
+    )
+    hits = knn_join_numpy(
+        queries, corpus, k=3, corpus_id="id", corpus_vec="vector"
+    )
+    enriched = corpus.join(F.broadcast(hits), "id").select(
+        "query_id",
+        "rank",
+        F.substring("text", 1, 6000).alias("snippet"),
+        F.concat_ws("     ", "title", "id").alias("citation"),
+    )
+    per_query = (
+        enriched.groupBy("query_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("rank", "snippet"))).alias("__c"),
+            F.array_sort(F.collect_list(F.struct("rank", "citation"))).alias("__t"),
+        )
+        .select(
+            "query_id",
+            F.array_join(F.transform("__c", lambda s: s["snippet"]), "\n").alias(
+                "context"
+            ),
+            F.array_join(F.transform("__t", lambda s: s["citation"]), "\n\n").alias(
+                "citations"
+            ),
+        )
+    )
+    prompts = per_query.select(
+        "query_id",
+        "context",
+        "citations",
+        F.substring(
+            F.format_string('请按照"%s"进行总结,内容是：%s', "query_id", "context"),
+            1,
+            20000,
+        ).alias("prompt"),
+    )
+    return rag_generate(prompts).orderBy("query_id")

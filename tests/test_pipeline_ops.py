@@ -235,3 +235,22 @@ def test_char_ops_handle_cjk_and_emoji(spark):
     assert all(len(r["chunk_text"]) <= 200 for r in rows)
     # chunk boundaries slice code points cleanly (no mojibake replacement)
     assert "�" not in "".join(r["chunk_text"] for r in rows)
+
+
+def test_e2e_crawl_to_answer_composes_whole_reference(spark):
+    """S1→G1 in one lazy plan: crawl source → clean → embed → kNN →
+    ordered context → prompt → generate → citations.  Each query page
+    must retrieve ITSELF at rank 1 (its own text is its best match), and
+    the response must end with its citation block."""
+    from crawling_vectordb_llm_spark.suite import QUERIES
+
+    out = {
+        r["query_id"]: r["response"]
+        for r in QUERIES["e2e_crawl_to_answer"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(out) == 3
+    for qid, resp in out.items():
+        # citation block appended (P10): the query page's own url appears
+        assert qid in resp, f"{qid} should cite itself (self-retrieval rank 1)"
