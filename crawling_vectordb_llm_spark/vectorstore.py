@@ -48,12 +48,20 @@ class VectorCollection:
         shards: int = 3,
         n_centroids: int = 16,
         encode_batch: Callable[[list[str], int], np.ndarray] | None = None,
+        write_mode: str = "cow",
     ):
+        assert write_mode in ("cow", "mor"), write_mode
         self.spark = spark
         self.path = path
         self.dim = dim
         self.shards = shards
         self.n_centroids = n_centroids
+        # "cow": every upsert/delete rewrites the snapshot (simple, read-
+        # optimal).  "mor": changes land as O(|change|) delta versions and
+        # reads merge base+deltas (write-optimal — the only affordable
+        # shape when the collection is 100 TB and the increment is a
+        # crawl batch); compact() folds the chain back to read-optimal.
+        self.write_mode = write_mode
         self._encode = encode_batch or hash_encode_batch
         self._embed_udf = make_embed_udf(dim=dim, encode_batch=encode_batch)
         self.centroids: np.ndarray | None = None
@@ -75,9 +83,28 @@ class VectorCollection:
 
     def documents(self, version: int | None = None) -> DataFrame:
         """Current (or pinned — time travel) snapshot of the collection."""
+        from crawling_vectordb_llm_spark import mor
         from crawling_vectordb_llm_spark import versioning as V
 
+        if self.write_mode == "mor":
+            return mor.mor_read(self.spark, self._table, key="id", version=version)
         return V.read_version(self.spark, self._table, version)
+
+    def delta_chain_length(self) -> int:
+        """MOR read amplification (0 for cow): deltas a read must merge."""
+        from crawling_vectordb_llm_spark import mor
+
+        return mor.delta_chain_length(self._table) if self.write_mode == "mor" else 0
+
+    def compact(self) -> int:
+        """Fold MOR deltas into a fresh base (or rewrite the cow snapshot
+        at a sane file count) as a NEW version — pinned readers untouched."""
+        from crawling_vectordb_llm_spark import mor
+        from crawling_vectordb_llm_spark import versioning as V
+
+        if self.write_mode == "mor":
+            return mor.mor_compact(self.spark, self._table, key="id")
+        return V.compact(self.spark, self._table)
 
     # ------------------------------------------------------------ writes
 
@@ -91,15 +118,25 @@ class VectorCollection:
         is also what lets the merge read its own input safely."""
         from crawling_vectordb_llm_spark import versioning as V
 
+        from crawling_vectordb_llm_spark import mor
+
         incoming = (
             docs.withColumn("vector", self._embed_udf(F.col("text")))
             .withColumn("vector", l2_normalize("vector").cast("array<float>"))
+            .dropDuplicates(["id"])
         )
-        if self.exists():
+        if self.write_mode == "mor":
+            if self.exists():
+                mor.mor_upsert(incoming, self._table, key="id")
+            else:
+                mor.mor_write_base(
+                    incoming.repartition(self.shards, "id"), self._table
+                )
+        elif self.exists():
             merged = upsert_by_key(self.documents(), incoming, key="id")
+            V.versioned_write(merged.repartition(self.shards, "id"), self._table)
         else:
-            merged = incoming.dropDuplicates(["id"])
-        V.versioned_write(merged.repartition(self.shards, "id"), self._table)
+            V.versioned_write(incoming.repartition(self.shards, "id"), self._table)
         if build_index:
             self.build_index()
 
@@ -118,15 +155,19 @@ class VectorCollection:
         the survivors as the next version.  Returns the new version —
         readers pinned to older versions still see the deleted rows, so
         a delete is also an auditable event, not a destructive rewrite."""
+        from crawling_vectordb_llm_spark import mor
         from crawling_vectordb_llm_spark import versioning as V
 
         ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
-        survivors = self.documents().join(
-            F.broadcast(ids_df), "id", "left_anti"
-        )
-        v = V.versioned_write(
-            survivors.repartition(self.shards, "id"), self._table
-        )
+        if self.write_mode == "mor":
+            v = mor.mor_delete(ids_df, self._table, key="id")
+        else:
+            survivors = self.documents().join(
+                F.broadcast(ids_df), "id", "left_anti"
+            )
+            v = V.versioned_write(
+                survivors.repartition(self.shards, "id"), self._table
+            )
         if build_index:
             self.build_index()
         return v

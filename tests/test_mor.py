@@ -72,3 +72,44 @@ def test_mor_read_is_lazy_and_prunable(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,900)" in plan
     assert df.count() == 99
+
+
+def test_vector_collection_mor_mode(spark, tmp_path):
+    """VectorCollection(write_mode='mor'): upserts/deletes are delta
+    versions, search still answers, compact folds the chain, and the
+    resolved content matches what a cow collection would hold."""
+    from pyspark.sql import functions as F
+
+    from crawling_vectordb_llm_spark.vectorstore import VectorCollection
+
+    def docs(lo, hi, tag):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("d"), F.col("id")).alias("id"),
+            F.concat(F.lit(f"{tag} title "), F.col("id")).alias("title"),
+            F.concat(F.lit(f"{tag} text body "), F.col("id")).alias("text"),
+        )
+
+    coll = VectorCollection(
+        spark, str(tmp_path / "mor_coll"), dim=16, write_mode="mor"
+    )
+    coll.upsert(docs(0, 100, "v1"), build_index=False)
+    coll.upsert(docs(50, 120, "v2"), build_index=False)   # 50-99 overwritten
+    coll.delete([f"d{i}" for i in range(10)])              # 0-9 gone
+    assert coll.delta_chain_length() == 2
+
+    got = coll.documents()
+    assert got.count() == 110  # 120 - 10 deleted
+    assert got.where(F.col("id") == "d5").count() == 0
+    assert got.where(F.col("id") == "d60").first()["title"].startswith("v2")
+    assert got.where(F.col("id") == "d20").first()["title"].startswith("v1")
+
+    # search runs against the resolved view
+    coll.build_index()
+    hits = coll.search_by_text(["v2 text body 60"], limit=3)
+    assert hits.count() == 3
+
+    before = sorted(r["id"] for r in got.select("id").collect())
+    coll.compact()
+    assert coll.delta_chain_length() == 0
+    after = sorted(r["id"] for r in coll.documents().select("id").collect())
+    assert before == after
