@@ -65,6 +65,8 @@ HEADLINE = [
     "dsir_importance_weights",
     "interval_overlap_join",
     "rolling_distinct_users_hll",
+    "bigram_logprob_score",
+    "triangle_count",
 ]
 
 

@@ -679,3 +679,52 @@ def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+@query(
+    "char_entropy_quality",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> substr(text, i, 1))) AS ch
+  FROM documents WHERE length(text) > 0
+), counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+), lens AS (
+  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM counts GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS INT) AS n_distinct_chars,
+       ROUND(CAST(SUM(CAST(ROUND(-(c.c / l.n) * ln(c.c / l.n), 6)
+                          AS DECIMAL(22,6))) AS DOUBLE), 6) AS entropy
+FROM counts c JOIN lens l USING (doc_id)
+GROUP BY c.doc_id
+""",
+)
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic cheap
+    gibberish/boilerplate detector (near-zero entropy = repeated filler,
+    abnormally high = binary junk or encoding damage); complements the
+    zlib compression-ratio signal with an exactly-reproducible formula.
+
+    Scale shape: one explode to (doc, char) and two keyed aggregations
+    that share the doc_id hash partition; per-term entropy contributions
+    round at 6 dp and sum as decimals (registry determinism rules)."""
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
+    chars = d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    lens = counts.groupBy("doc_id").agg(F.sum("c").cast("double").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        counts.join(lens, "doc_id")
+        .select(
+            "doc_id",
+            F.round(-p * F.log(p), 6).cast("decimal(22,6)").alias("term"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_distinct_chars"),
+            F.round(F.sum("term").cast("double"), 6).alias("entropy"),
+        )
+    )
