@@ -82,12 +82,24 @@ def list_collections(spark: SparkSession, database: str) -> list[str]:
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads only as
-    a long (spark.sql.legacy.parquet.nanosAsLong).  Convert to a proper
-    timestamp at microsecond precision (`ts div 1000` — integer division;
-    a double round-trip would lose precision above 2^53 ns)."""
-    if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+    """Normalize events.ts to a session-tz TIMESTAMP whatever the parquet
+    layout of the fixture generation:
+
+    - TIMESTAMP(NANOS) reads as a long under
+      spark.sql.legacy.parquet.nanosAsLong → `ts div 1000` (integer
+      division; a double round-trip would lose precision above 2^53 ns).
+    - timestamp[us] without tz reads as TIMESTAMP_NTZ, which streaming
+      event-time (watermarks) and double-casts reject → cast to TIMESTAMP.
+      ensure_session_confs pins the session tz to UTC, so the NTZ wall
+      clock is interpreted as UTC — the same convention the DuckDB oracle
+      applies to naive timestamps."""
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

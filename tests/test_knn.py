@@ -55,15 +55,73 @@ def test_numpy_and_sql_strategies_agree(spark):
 
 def test_threshold_join_strategies_agree(spark):
     emb = read_table(spark, SF_SMALL, "embeddings")
-    a = {
-        (r["a_id"], r["b_id"], r["score"])
-        for r in threshold_similarity_join(emb, None, 0.4).collect()
-    }
-    b = {
-        (r["a_id"], r["b_id"], r["score"])
-        for r in threshold_similarity_join(emb, None, 0.4, strategy="sql").collect()
-    }
-    assert a == b and len(a) > 0
+    key = lambda rows: {(r["a_id"], r["b_id"], r["score"]) for r in rows}  # noqa: E731
+    blocked = key(threshold_similarity_join(emb, None, 0.4).collect())
+    sql = key(threshold_similarity_join(emb, None, 0.4, strategy="sql").collect())
+    bcast = key(
+        threshold_similarity_join(emb, None, 0.4, strategy="broadcast").collect()
+    )
+    assert blocked == sql == bcast and len(blocked) > 0
+
+
+def test_threshold_join_blocked_multi_block_exact(spark):
+    """Forcing many grid blocks must not change the exact result set —
+    catches rows lost or duplicated at block boundaries."""
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    key = lambda rows: sorted((r["a_id"], r["b_id"], r["score"]) for r in rows)  # noqa: E731
+    one = key(threshold_similarity_join(emb, None, 0.4, n_blocks=1).collect())
+    many = key(threshold_similarity_join(emb, None, 0.4, n_blocks=7).collect())
+    assert one == many and len(one) > 0
+
+
+def test_threshold_join_blocked_never_collects_to_driver(spark, monkeypatch):
+    """VERDICT r1 #1 regression: the default strategy must not materialize
+    either side on the driver.  DataFrame.collect is poisoned for the whole
+    build+execute; only the final result may be fetched (via toPandas)."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+
+    def _boom(self):
+        raise AssertionError("driver collect() inside threshold_similarity_join")
+
+    monkeypatch.setattr(SparkDataFrame, "collect", _boom)
+    out = threshold_similarity_join(emb, None, 0.4, n_blocks=4).toPandas()
+    assert len(out) > 0
+
+
+def test_threshold_join_broadcast_guard(spark):
+    """strategy='broadcast' must refuse a right side above the size guard
+    instead of collecting it to the driver."""
+    import pytest
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        threshold_similarity_join(
+            emb, None, 0.4, strategy="broadcast", max_broadcast_rows=10
+        )
+
+
+def test_threshold_join_blocked_two_relations(spark):
+    """Distinct left/right relations through the cogroup grid agree with the
+    sql strategy."""
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    left = emb.where(F.col("vec_id") % 2 == 0)
+    right = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("r_id"), F.col("embedding").alias("r_vec")
+    )
+    key = lambda rows: {(r["a_id"], r["b_id"], r["score"]) for r in rows}  # noqa: E731
+    blocked = key(
+        threshold_similarity_join(
+            left, right, 0.4, right_id="r_id", right_vec="r_vec", n_blocks=3
+        ).collect()
+    )
+    sql = key(
+        threshold_similarity_join(
+            left, right, 0.4, right_id="r_id", right_vec="r_vec", strategy="sql"
+        ).collect()
+    )
+    assert blocked == sql and len(blocked) > 0
 
 
 def test_threshold_join_symmetric_bound(spark):
