@@ -50,8 +50,20 @@ def kmeans_centroids(
     collects the sample, then vectorized Lloyd's iterations run on the
     driver (milliseconds for 200k x 64 float64; no per-iteration Spark job
     overhead).  Returns the L2-normalized centroid matrix, deterministic
-    for a fixed seed."""
-    rows = corpus.select(vec_col).limit(sample_limit).collect()
+    for a fixed seed.
+
+    The sample is a seeded RANDOM sample, not `.limit()` — limit takes rows
+    from whichever partitions answer first, which on a sorted or clustered
+    corpus trains centroids on one region of the space and silently
+    degrades recall (ADVICE r1)."""
+    n = corpus.count()
+    sampled = corpus.select(vec_col)
+    if n > sample_limit:
+        # 1.2x oversample so the post-sample limit almost surely has
+        # sample_limit rows to take; seeded → deterministic per layout
+        fraction = min(1.0, 1.2 * sample_limit / n)
+        sampled = sampled.sample(fraction=fraction, seed=seed).limit(sample_limit)
+    rows = sampled.collect()
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

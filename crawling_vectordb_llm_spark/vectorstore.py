@@ -196,9 +196,20 @@ class VectorCollection:
         if use_index and os.path.exists(self._assignment):
             if self.centroids is None:
                 raise ValueError("index not built in this session")
-            assigned = self.spark.read.parquet(self._assignment)
-            if filter:
-                assigned = assigned.join(corpus.select("id"), "id", "left_semi")
+            # Always pin the (possibly stale) index assignment to the CURRENT
+            # snapshot: after delete()/upsert() with build_index=False the
+            # assignment still carries dropped ids and pre-update vectors —
+            # scoring it as-is would return deleted rows (violating the J4
+            # snapshot-read contract) or rank by stale embeddings.  Joining
+            # on id keeps only live rows AND scores with the snapshot's
+            # current vector; rows inserted since the last build_index are a
+            # documented recall gap (they have no cell yet), never a
+            # consistency violation.
+            assigned = (
+                self.spark.read.parquet(self._assignment)
+                .select("id", "centroid_id")
+                .join(corpus.select("id", "vector"), "id")
+            )
             hits = ivf_search(
                 queries, assigned, self.centroids, k=limit, n_probe=n_probe,
                 corpus_id="id", corpus_vec="vector",

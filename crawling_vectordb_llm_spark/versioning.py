@@ -103,13 +103,29 @@ def compact(
 
 
 def vacuum(path: str, keep: int = 2) -> list[int]:
-    """Drop all but the newest `keep` versions (never the pointer target).
-    Returns the removed version numbers."""
+    """Drop old versions (never the pointer target), keeping at least the
+    newest `keep`.  Returns the removed version numbers.
+
+    MoR-aware (ADVICE r1): under the merge-on-read layout (mor.py) a
+    retained delta version is only readable through the newest `base` at or
+    below it PLUS every delta between that base and itself — deleting the
+    base (or any intermediate delta) would make every retained version
+    unreadable or silently wrong.  The removal cutoff therefore backs up
+    from the oldest retained version to its supporting base; pure-cow
+    layouts (no base/ subdir anywhere) keep the plain newest-`keep`
+    behavior."""
     import shutil
 
     vs = _versions(path)
+    if len(vs) <= keep:
+        return []
     live = latest_version(path)
-    removable = [v for v in vs[:-keep] if v != live] if len(vs) > keep else []
+    cutoff = vs[-keep]  # oldest retained version
+    for v in reversed([v for v in vs if v <= cutoff]):
+        if os.path.isdir(os.path.join(path, f"v={v}", "base")):
+            cutoff = v
+            break
+    removable = [v for v in vs if v < cutoff and v != live]
     for v in removable:
         shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
     return removable

@@ -113,3 +113,29 @@ def test_vector_collection_mor_mode(spark, tmp_path):
     assert coll.delta_chain_length() == 0
     after = sorted(r["id"] for r in coll.documents().select("id").collect())
     assert before == after
+
+
+def test_vacuum_is_mor_aware(spark, tmp_path):
+    """ADVICE r1 regression: vacuum(keep=N) must never delete the base a
+    retained delta version resolves through, nor intermediate deltas —
+    v1/base + v2..v4 deltas with keep=2 must keep EVERYTHING (all retained
+    versions depend on v1/base)."""
+    from crawling_vectordb_llm_spark import versioning as V
+
+    path = str(tmp_path / "coll")
+    mor.mor_write_base(_base(spark, 100), path)            # v1 base
+    mor.mor_delete(spark.range(10).select("id"), path)     # v2 delta
+    mor.mor_delete(spark.range(10, 20).select("id"), path)  # v3 delta
+    mor.mor_delete(spark.range(20, 30).select("id"), path)  # v4 delta
+
+    removed = V.vacuum(path, keep=2)
+    assert removed == []  # nothing removable: v3, v4 retained need v1+v2
+    assert mor.mor_read(spark, path).count() == 70  # still readable
+
+    # compact (v5 base) + one more delta (v6): keep=2 retains v5..v6 whose
+    # supporting base IS v5, so v1..v4 become removable
+    mor.mor_compact(spark, path)                            # v5 base
+    mor.mor_delete(spark.range(30, 40).select("id"), path)  # v6 delta
+    removed = V.vacuum(path, keep=2)
+    assert removed == [1, 2, 3, 4]
+    assert mor.mor_read(spark, path).count() == 60

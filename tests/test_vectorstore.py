@@ -100,3 +100,32 @@ def test_delete_by_id_versions_and_preserves_old_snapshot(spark, tmp_path):
     assert remaining == {f"u{i}" for i in range(10)} - {"u3", "u7"}
     # pinned pre-delete snapshot still contains the deleted rows
     assert before.count() == 10
+
+
+def test_indexed_search_excludes_deleted_ids(spark, tmp_path):
+    """ADVICE r1 regression: after delete() (default build_index=False) an
+    UNFILTERED indexed search must not surface the deleted ids — the stale
+    ivf_assignment must be pinned to the current snapshot on read."""
+    coll, docs = _fresh(spark, tmp_path, n_centroids=4)
+    texts = [r["text"] for r in docs.limit(5).collect()]
+    deleted = ["https://x/0", "https://x/3"]
+    coll.delete(deleted)  # build_index stays False: assignment is now stale
+    hits = coll.search_by_text(texts, limit=5, use_index=True, n_probe=4)
+    ids = {r["id"] for r in hits.collect()}
+    assert ids and not (ids & set(deleted))
+
+
+def test_indexed_search_scores_current_vectors_after_upsert(spark, tmp_path):
+    """A doc re-upserted with new text (index NOT rebuilt) must be scored by
+    its current embedding, not the stale one stored in the assignment."""
+    coll, docs = _fresh(spark, tmp_path, n_centroids=4)
+    new_text = "entirely different replacement content xyz"
+    update = spark.createDataFrame(
+        [("https://x/7", new_text, "en")], "id string, text string, lang string"
+    )
+    coll.upsert(update, build_index=False)
+    # exact search for the OLD text must not return a perfect 1.0 for x/7
+    old_text = docs.where(F.col("id") == "https://x/7").first()["text"]
+    hits = coll.search_by_text([old_text], limit=100, use_index=True, n_probe=4)
+    x7 = [r for r in hits.collect() if r["id"] == "https://x/7"]
+    assert all(abs(r["score"] - 1.0) > 1e-6 for r in x7)
