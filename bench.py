@@ -2,10 +2,12 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.  Each query is executed twice (plan
-compile + cache warm on the first pass) and the better time is reported —
-the steady-state number a resident cluster would see; the cold JVM startup
-is excluded for the same reason.
+"queries": {name: sec}, "sf": ..., "n": 3}.  Each query runs once cold
+(plan compile + cache warm, not counted) and then 3 warm times; the MEDIAN
+warm time is reported per query — single-shot numbers on a box with
+external load spikes are 3-10x noisy (VERDICT r1), and a median of 3
+makes round-over-round regression comparisons trustworthy.  Cold JVM
+startup is excluded for the same steady-state reason.
 """
 
 from __future__ import annotations
@@ -86,12 +88,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     results: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t1 = run_query(fn, spark, sf_dir)
-        t2 = run_query(fn, spark, sf_dir)
-        results[name] = round(min(t1, t2), 3)
+        run_query(fn, spark, sf_dir)  # cold: plan compile + cache warm
+        warm = sorted(run_query(fn, spark, sf_dir) for _ in range(n_runs))
+        results[name] = round(warm[len(warm) // 2], 3)  # median
 
     # ingest-shaped pipeline throughput (BASELINE.md bench plan): clean →
     # hash-embed → normalize → bulk parquet write, rows/s
@@ -130,6 +133,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
+                "n": n_runs,
                 "ingest_rows_per_s": round(n_docs / ingest_s, 1),
             }
         )

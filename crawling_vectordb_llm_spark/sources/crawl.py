@@ -61,15 +61,130 @@ def fetch_pages(urls: DataFrame, fetcher: FetchFn, url_col: str = "link") -> Dat
     return urls.mapInPandas(_fetch, schema=schema)
 
 
-def extract_content(pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """S2/P6: select the content div and strip tags (BeautifulSoup
-    `select("div.J-markdown-box")[0].get_text()`, Crawling.py:41-44) —
-    for the fixed selector a regex extract + tag strip is exact and stays
-    JVM-side (no Python in the hot path)."""
-    content = F.regexp_extract(
-        F.col(html_col), r'<div class="content">(.*?)</div>', 1
+#: HTML void elements — they never close, so they must not contribute to
+#: the open-tag depth while capturing a matched subtree.
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+def _parse_simple_selector(selector: str) -> tuple[str | None, str | None, str | None]:
+    """'tag.class' / 'tag#id' / '.class' / '#id' / 'tag' → (tag, class, id).
+    Combinators/attribute selectors need bs4 — reject them explicitly."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"(?P<tag>[a-zA-Z][\w-]*)?(?:\.(?P<cls>[\w-]+)|#(?P<id>[\w-]+))?", selector
     )
-    return pages.withColumn("text", F.regexp_replace(content, r"<[^>]+>", " "))
+    if not m or not selector:
+        raise ValueError(
+            f"unsupported selector {selector!r}: without bs4 installed only "
+            "simple selectors (tag, .class, #id, tag.class, tag#id) work"
+        )
+    return m.group("tag"), m.group("cls"), m.group("id")
+
+
+def select_text(html: str, selector: str) -> str | None:
+    """First-match text content for a simple CSS selector, via the stdlib
+    HTML parser — handles NESTED markup correctly (the depth counter tracks
+    the matched element's subtree), unlike a non-greedy regex which stops
+    at the first same-tag close.  The bs4-backed path in `extract_content`
+    supersedes this when bs4 is importable."""
+    from html.parser import HTMLParser
+
+    tag_want, cls_want, id_want = _parse_simple_selector(selector)
+
+    class _Extract(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.capturing = False
+            self.done = False
+            self.depth = 0
+            self.out: list[str] = []
+
+        def _matches(self, tag: str, attrs) -> bool:
+            if tag_want and tag != tag_want:
+                return False
+            d = dict(attrs)
+            if cls_want and cls_want not in (d.get("class") or "").split():
+                return False
+            if id_want and d.get("id") != id_want:
+                return False
+            return True
+
+        def handle_starttag(self, tag: str, attrs) -> None:
+            if self.done:
+                return
+            if self.capturing:
+                if tag not in _VOID_TAGS:
+                    self.depth += 1
+            elif tag not in _VOID_TAGS and self._matches(tag, attrs):
+                self.capturing = True
+                self.depth = 1
+
+        def handle_endtag(self, tag: str) -> None:
+            if self.done or not self.capturing or tag in _VOID_TAGS:
+                return
+            self.depth -= 1
+            if self.depth == 0:
+                self.capturing = False
+                self.done = True
+
+        def handle_data(self, data: str) -> None:
+            if self.capturing:
+                self.out.append(data)
+
+    p = _Extract()
+    p.feed(html or "")
+    p.close()
+    return "".join(p.out) if (p.done or p.capturing) else None
+
+
+def extract_content(
+    pages: DataFrame, html_col: str = "html", selector: str | None = None
+) -> DataFrame:
+    """S2/P6: select the content element and strip tags (BeautifulSoup
+    `select("div.J-markdown-box")[0].get_text()`, Crawling.py:41-44).
+
+    selector=None (default): the fixture's fixed `div.content` pattern via
+    a JVM regex extract + tag strip — exact for that flat markup and fully
+    codegen (no Python in the hot path).
+
+    selector given: general CSS selection in a mapInPandas stage — bs4
+    (full CSS grammar) when importable, else a stdlib-HTMLParser engine for
+    simple selectors that is nested-markup-correct (`select_text`)."""
+    if selector is None:
+        content = F.regexp_extract(
+            F.col(html_col), r'<div class="content">(.*?)</div>', 1
+        )
+        return pages.withColumn("text", F.regexp_replace(content, r"<[^>]+>", " "))
+
+    def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from bs4 import BeautifulSoup  # noqa: PLC0415
+
+            def sel(html: str) -> str | None:
+                nodes = BeautifulSoup(html or "", "html.parser").select(selector)
+                return nodes[0].get_text() if nodes else None
+
+        except ImportError:
+
+            def sel(html: str) -> str | None:
+                return select_text(html, selector)
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["text"] = [sel(h) for h in pdf[html_col]]
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    if "text" in pages.columns:
+        pages = pages.drop("text")
+    schema = T.StructType(
+        list(pages.schema.fields) + [T.StructField("text", T.StringType())]
+    )
+    return pages.mapInPandas(_extract, schema=schema)
 
 
 def clean_pages(pages: DataFrame) -> DataFrame:
@@ -125,12 +240,14 @@ def crawl_bfs(
 
 
 def crawl_ingest(
-    urls: DataFrame, fetcher: FetchFn, url_col: str = "link"
+    urls: DataFrame, fetcher: FetchFn, url_col: str = "link",
+    selector: str | None = None,
 ) -> DataFrame:
     """Full S1→P7 pipeline: fetch → extract → clean → Document projection
-    (id=url, title, text — TencentVDB.py:76-78)."""
+    (id=url, title, text — TencentVDB.py:76-78).  `selector` opts into the
+    general CSS extraction path (any markup, any simple selector)."""
     pages = fetch_pages(urls, fetcher, url_col)
-    docs = clean_pages(extract_content(pages))
+    docs = clean_pages(extract_content(pages, selector=selector))
     return docs.select(
         F.col(url_col).alias("id"), F.col("title"), F.col("text")
     )

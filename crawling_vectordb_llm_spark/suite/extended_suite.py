@@ -359,9 +359,27 @@ def q_multimodal_features_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("frame_sample")
+@query(
+    "frame_sample",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         ((16 + doc_id % 48) * (16 + (doc_id * 7) % 32)) // 64 AS n_frames
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS INT)
+         AS frame_idx,
+       CAST(64 AS INT) AS frame_len
+FROM dims
+""",
+)
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: video-shaped frame sampling (every 4th 64-byte frame)."""
+    """Video-shaped frame sampling (every 4th 64-byte frame).  Oracle-
+    checked (VERDICT r1 #6): the FKM1 payload size is a pure function of
+    doc_id (width 16 + id%48, height 16 + 7·id%32, sources/multimodal.py),
+    so the sampled frame indexes and the constant 64-byte frame length are
+    reproducible in SQL without touching the binary itself."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     frames = MM.sample_frames(MM.synth_media(docs))
     return frames.select("doc_id", "frame_idx", F.length("frame").alias("frame_len"))

@@ -654,3 +654,104 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return dsir_importance(d, F.col("source").isin("src0", "src1"))
+
+
+@query(
+    "ngram_lm_decontamination",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> {'h': w[i], 't': w[i + 1]})) AS g
+  FROM toks WHERE len(w) >= 2
+), big AS (
+  SELECT doc_id, g.h AS head, g.t AS tail FROM grams
+), bigc_b AS (
+  SELECT head, tail, COUNT(*) AS c2 FROM big WHERE doc_id < 5
+  GROUP BY head, tail
+), unic_b AS (
+  SELECT head, SUM(c2) AS c1 FROM bigc_b GROUP BY head
+), scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(ln(bc.c2 / CAST(u.c1 AS DOUBLE)), 6) AS DECIMAL(22,6))
+           AS lp
+  FROM big b
+  JOIN bigc_b bc ON bc.head = b.head AND bc.tail = b.tail
+  JOIN unic_b u ON u.head = b.head
+  WHERE b.doc_id >= 5
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams FROM big WHERE doc_id >= 5
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_bigrams,
+       CAST(COUNT(s.lp) AS BIGINT) AS n_known,
+       ROUND(COUNT(s.lp) / CAST(t.n_bigrams AS DOUBLE), 6) AS known_frac,
+       ROUND(CAST(SUM(s.lp) AS DOUBLE), 6) AS sum_lp_known
+FROM totals t JOIN scored s USING (doc_id)
+GROUP BY t.doc_id, t.n_bigrams
+""",
+)
+def q_ngram_lm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-LM decontamination — the LM rung above the set-overlap
+    ladder (bloom_decontamination counts shared bigrams; this weighs
+    them): train a maximum-likelihood bigram LM on the benchmark set
+    (docs 0-4) and score every corpus doc by how much of it the
+    benchmark LM has SEEN (known_frac) and the total benchmark-LM
+    log-likelihood of the seen bigrams (sum_lp_known — a decimal sum, so
+    the oracle compare is exact; a mean would re-divide and land on
+    half-way rounding edges).  A doc quoting benchmark text verbatim
+    shows both high coverage and high likelihood — rarer-bigram matches
+    weigh heavier than stopword collisions, the signal plain set
+    intersection misses.
+
+    Scale shape: the benchmark LM tables are tiny by construction (the
+    held-out set) and broadcast; the corpus bigram stream is map-only
+    until the single per-doc aggregation shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    m = F.size(toks) - 1
+    grams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda x, y: F.struct(x.alias("head"), y.alias("tail")),
+    )
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(toks) >= 2, grams).otherwise(
+                F.array().cast("array<struct<head:string,tail:string>>")
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.head", "g.tail")
+    bench = big.where(F.col("doc_id") < 5)
+    corpus = big.where(F.col("doc_id") >= 5)
+    bigc_b = bench.groupBy("head", "tail").agg(F.count(F.lit(1)).alias("c2"))
+    bigc_b = bigc_b.localCheckpoint()
+    unic_b = bigc_b.groupBy("head").agg(F.sum("c2").alias("c1"))
+    scored = (
+        corpus.join(F.broadcast(bigc_b), ["head", "tail"])
+        .join(F.broadcast(unic_b), "head")
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c2") / F.col("c1").cast("double")), 6)
+            .cast("decimal(22,6)")
+            .alias("lp"),
+        )
+    )
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bigrams"))
+    agg = scored.groupBy("doc_id").agg(
+        F.count("lp").cast("bigint").alias("n_known"),
+        # decimal-exact sum, rendered as double (identical in both engines
+        # since the decimal value is exact at 6 dp)
+        F.round(F.sum("lp").cast("double"), 6).alias("sum_lp_known"),
+    )
+    return totals.join(agg, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        "n_known",
+        F.round(F.col("n_known") / F.col("n_bigrams").cast("double"), 6).alias(
+            "known_frac"
+        ),
+        "sum_lp_known",
+    )

@@ -209,8 +209,10 @@ def test_nfc_normalize_agrees_with_duckdb_on_planted_forms(spark):
 
 
 def test_hll_rolling_matches_exact_within_tolerance(spark):
-    """The HLL sketch variant must track the exact collect_set variant
-    within the lgK=12 error envelope (~2-3%) on every (type, day)."""
+    """The HLL variant now carries its own accuracy gate: every row's
+    in-query `hll_ok` (estimate within 5% of exact) must hold, the exact
+    counts must equal the collect_set variant's, and the key universes
+    must coincide."""
     from crawling_vectordb_llm_spark.suite import QUERIES
 
     from .conftest import SF_MEDIUM
@@ -219,14 +221,12 @@ def test_hll_rolling_matches_exact_within_tolerance(spark):
         (r["event_type"], r["day"]): r["uniq_users_7d"]
         for r in QUERIES["rolling_distinct_users"](spark, SF_MEDIUM).collect()
     }
-    est = {
-        (r["event_type"], r["day"]): r["uniq_users_7d_est"]
-        for r in QUERIES["rolling_distinct_users_hll"](spark, SF_MEDIUM).collect()
-    }
-    assert set(exact) == set(est), "same (event_type, day) key universe"
+    hll_rows = QUERIES["rolling_distinct_users_hll"](spark, SF_MEDIUM).collect()
+    got = {(r["event_type"], r["day"]): r for r in hll_rows}
+    assert set(exact) == set(got), "same (event_type, day) key universe"
     for k, v in exact.items():
-        rel = abs(est[k] - v) / max(v, 1)
-        assert rel <= 0.05, (k, v, est[k], rel)
+        assert got[k]["uniq_users_7d"] == v, (k, v, got[k])
+        assert got[k]["hll_ok"], (k, got[k])
 
 
 def test_triangle_counts_planted_graph(spark):

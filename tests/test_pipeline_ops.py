@@ -254,3 +254,86 @@ def test_e2e_crawl_to_answer_composes_whole_reference(spark):
     for qid, resp in out.items():
         # citation block appended (P10): the query page's own url appears
         assert qid in resp, f"{qid} should cite itself (self-retrieval rank 1)"
+
+
+def test_select_text_nested_markup_non_fixture_selector():
+    """VERDICT r1 #4: the general extraction path must handle NESTED
+    same-tag markup and arbitrary simple selectors — exactly what the
+    fixed-selector regex could not do (a non-greedy regex would stop at
+    the first inner </div>)."""
+    html = (
+        '<html><body><div class="nav">skip</div>'
+        '<div class="outer J-markdown-box" data-x="1">'
+        "<p>hello <b>world</b></p><div><span>nested</span> deep</div>"
+        "</div><div>after</div></body></html>"
+    )
+    got = crawl.select_text(html, "div.J-markdown-box")
+    assert got is not None
+    assert "".join(got.split()) == "helloworldnesteddeep"
+    # the reference's other selector shape: textarea with JSON payload
+    html2 = '<textarea class="J-qcSideNavListData">{"list": [1, 2]}</textarea>'
+    assert crawl.select_text(html2, "textarea.J-qcSideNavListData") == '{"list": [1, 2]}'
+    # id selector, bare tag, and a miss
+    assert crawl.select_text('<p id="k">x</p>', "#k") == "x"
+    assert crawl.select_text("<title>t</title>", "title") == "t"
+    assert crawl.select_text(html, "div.absent") is None
+    with pytest.raises(ValueError, match="unsupported selector"):
+        crawl.select_text(html, "div > p[rel=x]")
+
+
+def test_extract_content_with_selector_distributed(spark):
+    """The selector path through mapInPandas: nested markup, void tags,
+    and null html rows survive the Arrow round trip."""
+    rows = [
+        ("a", '<div class="c"><p>one<br>two</p><div>three</div></div>'),
+        ("b", "<p>no match here</p>"),
+        ("c", None),
+    ]
+    pages = spark.createDataFrame(rows, "link string, html string")
+    out = {
+        r["link"]: r["text"]
+        for r in crawl.extract_content(pages, selector="div.c").collect()
+    }
+    assert "".join((out["a"] or "").split()) == "onetwothree"
+    assert out["b"] is None and out["c"] is None
+
+
+def test_crawl_ingest_with_selector_end_to_end(spark):
+    """crawl_ingest(selector=...) — fetch → general CSS extract → clean →
+    Document projection on markup the fixed regex cannot parse."""
+    def fake_fetch(url):
+        return (
+            '<div class="content">decoy</div>'
+            '<article class="post"><h1>T</h1><p>body text '
+            "<em>emphasis</em></p><div>tail</div></article>"
+        )
+
+    urls = spark.createDataFrame(
+        [("https://x/1", "t1")], "link string, title string"
+    )
+    docs = crawl.crawl_ingest(urls, fake_fetch, selector="article.post").collect()
+    assert len(docs) == 1
+    assert docs[0]["id"] == "https://x/1"
+    assert "body text" in docs[0]["text"] and "decoy" not in docs[0]["text"]
+
+
+def test_sentence_transformer_adapter_seam():
+    """Opt-in real-model adapter: dim contract enforced from the published
+    model table BEFORE any import; a clean NotImplementedError when the
+    library is absent; and runs for real when it is installed."""
+    from crawling_vectordb_llm_spark.embedding import (
+        MODEL_DIMS,
+        make_sentence_transformer_encoder,
+    )
+
+    enc = make_sentence_transformer_encoder("text2vec-large-chinese")
+    with pytest.raises(ValueError, match="dim=1024"):
+        enc(["x"], 64)  # wrong dim fails fast, even without the library
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="sentence-transformers"):
+            enc(["x"], MODEL_DIMS["text2vec-large-chinese"])
+        return
+    mat = enc(["hello world"], MODEL_DIMS["text2vec-large-chinese"])  # pragma: no cover
+    assert mat.shape == (1, 1024)

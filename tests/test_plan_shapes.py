@@ -134,14 +134,19 @@ def test_url_canonicalize_is_map_only(spark):
 
 
 def test_hll_rolling_shuffles_raw_events_once(spark):
-    """Raw events collapse to day sketches in ONE shuffle; the 7-day
-    union must join/aggregate only the sketch table (no second exchange
-    keyed on raw event columns)."""
+    """Raw events collapse to distinct (type, day, user) triples in ONE
+    up-front shuffle (checkpointed); everything downstream — the sketch
+    build, the 7-day union, and the in-query exact-verification branch —
+    exchanges only day-level / triple-level rows, never raw event
+    columns."""
     plan = plan_of(spark, "rolling_distinct_users_hll")
     assert "hll_union_agg" in plan
-    # the raw-event scan was collapsed into the checkpointed sketch table:
-    # no FileScan of events remains, and the only shuffle left is the
-    # union agg over sketch rows (plus the tiny days broadcast)
+    # the raw-event scan was collapsed into the checkpointed triple table:
+    # no FileScan of events remains in the final plan
     assert "FileScan" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastExchange" in plan
+    # no exchange keys on raw event columns (ts/value/event_id/props)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "event_id" not in line and "value#" not in line
+            assert "ts#" not in line and "props" not in line
