@@ -39,3 +39,25 @@ def test_rag_generate_appends_citations(spark):
         assert r["response"].startswith("summary(")
         # citations block is appended verbatim after a blank line
         assert r["response"].endswith("\n\n" + cits[r["query_id"]])
+
+
+def test_chatglm_adapter_seam():
+    """Opt-in real-generation adapter: clean NotImplementedError when
+    transformers is absent; wired through make_generate_udf it must build
+    a valid UDF either way."""
+    import pytest
+
+    from crawling_vectordb_llm_spark.plans.generate import (
+        make_chatglm_generate_batch,
+        make_generate_udf,
+    )
+
+    gen = make_chatglm_generate_batch()
+    make_generate_udf(generate_batch=gen)  # plan construction never imports
+    try:
+        import transformers  # noqa: F401
+        import torch  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="transformers"):
+            gen(["hello"], 100)
+        return

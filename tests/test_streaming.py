@@ -178,3 +178,52 @@ def test_streaming_crawl_source_resumes_frontier(spark, tmp_path):
     # and the text is the deterministic corpus
     first = got.where(F.col("url").endswith("/0")).first()
     assert first["text"].startswith("w0 w1 w2")
+
+
+def test_streaming_crawl_to_vector_collection_search(spark, tmp_path):
+    """The reference's entire loop as ONE streaming pipeline: crawl
+    frontier micro-batches (restartable Python stream source) →
+    VectorCollection.upsert merge-on-read deltas (embed-on-write) → index
+    build → indexed searchByText answers from the ingested corpus.  This
+    is TencentVDB.py's per-doc upsert loop + main_server.py's search,
+    composed Spark-native."""
+    from crawling_vectordb_llm_spark.sources import crawl_datasource
+    from crawling_vectordb_llm_spark.vectorstore import VectorCollection
+
+    crawl_datasource.register_stream(spark)
+    coll = VectorCollection(spark, str(tmp_path / "kb"), dim=32, write_mode="mor")
+
+    def ingest(batch_df, batch_id):
+        coll.upsert(
+            batch_df.selectExpr("url AS id", "title", "text"), build_index=False
+        )
+
+    # one availableNow drain = one micro-batch of the simple stream
+    # source; four restarts off the shared checkpoint walk the whole
+    # 40-page frontier (each run resumes exactly where the last stopped)
+    for _ in range(4):
+        q = (
+            spark.readStream.format("synthetic_crawl_stream")
+            .option("pages", "40")
+            .option("batchpages", "10")
+            .load()
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    assert coll.documents().count() == 40
+    assert coll.delta_chain_length() >= 1  # deltas, not rewrites
+    coll.build_index()
+
+    # synthetic pages repeat text with period 13 (page_id*7+j mod 13), so
+    # page 7's text is shared by pages 20 and 33 — the top-3 must be
+    # exactly that tie set, every hit a perfect cosine
+    target = coll.documents().where("id = 'https://site.example/page/7'").first()
+    hits = coll.search_by_text([target["text"]], limit=3, use_index=True).collect()
+    assert {r["id"] for r in hits} == {
+        f"https://site.example/page/{p}" for p in (7, 20, 33)
+    }
+    assert all(abs(r["score"] - 1.0) < 1e-6 for r in hits)
