@@ -214,7 +214,9 @@ def threshold_similarity_join(
     if self_join:
         if n_blocks is None:
             n = left.count()
-            n_blocks = max(1, -(-n // block_target_rows))
+            n_blocks = _pick_blocks(
+                n, block_target_rows, left.sparkSession.sparkContext.defaultParallelism
+            )
         P = n_blocks
         blocked = left.select(
             F.col(left_id).alias("__id"),
@@ -264,9 +266,12 @@ def threshold_similarity_join(
 
     # distinct left/right relations: P x Q grid via cogroup
     if n_blocks is None:
+        par = left.sparkSession.sparkContext.defaultParallelism
         nl, nr = left.count(), right.count()
-        P = max(1, -(-nl // block_target_rows))
-        Q = max(1, -(-nr // block_target_rows))
+        # grid tasks = P*Q; split the parallelism target across both axes
+        side_par = max(1, int(par**0.5))
+        P = _pick_blocks(nl, block_target_rows, side_par, triangular=False)
+        Q = _pick_blocks(nr, block_target_rows, side_par, triangular=False)
     else:
         P = Q = n_blocks
     lrep = left.select(
@@ -297,6 +302,31 @@ def threshold_similarity_join(
             _gemm_cross, schema=f"a_id {aid_t}, b_id {bid_t}, {score_col} double"
         )
     )
+
+
+def _pick_blocks(
+    n: int,
+    block_target_rows: int,
+    parallelism: int,
+    triangular: bool = True,
+    min_block_rows: int = 256,
+) -> int:
+    """Grid size P for the blocked GEMM: at least enough blocks that every
+    block fits block_target_rows (the MEMORY bound), and — when the data is
+    small relative to the cluster — enough block-pairs to occupy the
+    available cores (the PARALLELISM bound: P(P+1)/2 tasks for the
+    triangular self-join, P tasks per grid side otherwise), floored so
+    blocks never shrink below min_block_rows where per-task overhead would
+    dominate the GEMM."""
+    p_mem = max(1, -(-n // block_target_rows))
+    if triangular:
+        p_par = 1
+        while p_par * (p_par + 1) // 2 < parallelism:
+            p_par += 1
+    else:
+        p_par = parallelism
+    p_cap = max(1, n // min_block_rows)
+    return max(p_mem, min(p_par, p_cap))
 
 
 def _chunked_tau_gemm(
