@@ -37,6 +37,24 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
 
 
+def bounded_random_sample(
+    df: DataFrame, cols: list[str], sample_limit: int, seed: int
+) -> list:
+    """Collect a seeded RANDOM sample of up to sample_limit rows — the
+    shared trainer-sampling primitive for every codebook/centroid fit.
+    `.limit()` alone takes whole first partitions, which on a sorted or
+    clustered corpus trains on one region of the space and silently
+    degrades recall (ADVICE r1).  The 1.2x oversample makes the
+    post-sample limit almost surely full; seeded → deterministic per
+    layout."""
+    n = df.count()
+    sampled = df.select(*cols)
+    if n > sample_limit:
+        fraction = min(1.0, 1.2 * sample_limit / n)
+        sampled = sampled.sample(fraction=fraction, seed=seed).limit(sample_limit)
+    return sampled.collect()
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int,
@@ -50,20 +68,8 @@ def kmeans_centroids(
     collects the sample, then vectorized Lloyd's iterations run on the
     driver (milliseconds for 200k x 64 float64; no per-iteration Spark job
     overhead).  Returns the L2-normalized centroid matrix, deterministic
-    for a fixed seed.
-
-    The sample is a seeded RANDOM sample, not `.limit()` — limit takes rows
-    from whichever partitions answer first, which on a sorted or clustered
-    corpus trains centroids on one region of the space and silently
-    degrades recall (ADVICE r1)."""
-    n = corpus.count()
-    sampled = corpus.select(vec_col)
-    if n > sample_limit:
-        # 1.2x oversample so the post-sample limit almost surely has
-        # sample_limit rows to take; seeded → deterministic per layout
-        fraction = min(1.0, 1.2 * sample_limit / n)
-        sampled = sampled.sample(fraction=fraction, seed=seed).limit(sample_limit)
-    rows = sampled.collect()
+    for a fixed seed."""
+    rows = bounded_random_sample(corpus, [vec_col], sample_limit, seed)
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

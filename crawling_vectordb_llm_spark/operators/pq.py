@@ -64,7 +64,11 @@ def pq_train(
     normalized space and ADC partial dots sum to an approximate cosine.
     Deterministic for a fixed seed (FIXTURES.md determinism rules).
     """
-    rows = corpus.select(vec_col).limit(sample_limit).collect()
+    from crawling_vectordb_llm_spark.operators.ivf import bounded_random_sample
+
+    # seeded random sample, not .limit() — same recall-bias fix as the
+    # IVF trainer (ADVICE r1)
+    rows = bounded_random_sample(corpus, [vec_col], sample_limit, seed)
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     dim = x.shape[1]
     if dim % m_subvectors:
@@ -221,8 +225,10 @@ def ivfpq_topk(
     cents = kmeans_centroids(corpus, n_centroids, corpus_vec, seed=seed)
     assigned = assign_centroids(corpus, cents, corpus_id, corpus_vec)
 
-    # --- train PQ on residuals (driver sample, deterministic) ---
-    rows = assigned.select(corpus_vec, "centroid_id").limit(200_000).collect()
+    # --- train PQ on residuals (seeded random driver sample) ---
+    from crawling_vectordb_llm_spark.operators.ivf import bounded_random_sample
+
+    rows = bounded_random_sample(assigned, [corpus_vec, "centroid_id"], 200_000, seed)
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     cid = np.array([r[1] for r in rows], dtype=np.int64)
     resid = x - cents[cid]
