@@ -76,6 +76,10 @@ class VectorCollection:
     def _assignment(self) -> str:
         return os.path.join(self.path, "ivf_assignment")
 
+    @property
+    def _centroids_path(self) -> str:
+        return os.path.join(self.path, "ivf_centroids")
+
     def exists(self) -> bool:
         from crawling_vectordb_llm_spark import versioning as V
 
@@ -108,9 +112,12 @@ class VectorCollection:
 
     # ------------------------------------------------------------ writes
 
-    def upsert(self, docs: DataFrame, build_index: bool = True) -> None:
+    def upsert(self, docs: DataFrame, build_index: bool | str = True) -> None:
         """Embed-on-write + merge-by-id (last writer wins), then optional
         index artifact rebuild — the TencentVDB.py:63-79 contract, bulk.
+        build_index: True = full rebuild, "incremental" = assign only the
+        ingest delta against the existing centroids (the 100 TB cadence),
+        False = defer.
 
         The merge reads version N and writes version N+1 directly
         (versioning.py): no staging double-write — the old version stays
@@ -137,17 +144,63 @@ class VectorCollection:
             V.versioned_write(merged.repartition(self.shards, "id"), self._table)
         else:
             V.versioned_write(incoming.repartition(self.shards, "id"), self._table)
-        if build_index:
+        if build_index == "incremental":
+            self.build_index(incremental=True)
+        elif build_index:
             self.build_index()
 
-    def build_index(self) -> None:
+    def build_index(self, incremental: bool = False) -> None:
+        """Rebuild the IVF artifacts, or (incremental=True) extend them.
+
+        Full build: retrain centroids on the current snapshot, assign
+        every vector, overwrite the partitioned assignment, persist the
+        centroid table (so a fresh session — or another node — can search
+        without retraining).
+
+        Incremental (the 100 TB ingest cadence — a full rebuild per crawl
+        batch would re-scan the whole collection the reference-style
+        `build_index=True`-per-upsert way): keep the trained centroids,
+        assign ONLY ids not yet in the assignment, append their cells.
+        Updated ids keep their old cell until the next full build — a
+        bounded recall drift, never a consistency issue (search joins the
+        assignment to the live snapshot and scores current vectors);
+        deleted ids are filtered by that same join.  Falls back to a full
+        build when no index exists yet."""
         coll = self.documents()
+        if incremental and os.path.exists(self._assignment):
+            cents = self._ensure_centroids()
+            existing = self.spark.read.parquet(self._assignment).select("id")
+            delta = coll.join(existing, "id", "left_anti")
+            assign_centroids(
+                delta, cents, id_col="id", vec_col="vector"
+            ).write.mode("append").partitionBy("centroid_id").parquet(
+                self._assignment
+            )
+            return
         self.centroids = kmeans_centroids(coll, self.n_centroids, vec_col="vector")
         assign_centroids(
             coll, self.centroids, id_col="id", vec_col="vector"
         ).write.mode("overwrite").partitionBy("centroid_id").parquet(
             self._assignment
         )
+        self.spark.createDataFrame(
+            [(i, [float(x) for x in self.centroids[i]]) for i in range(len(self.centroids))],
+            "centroid_id int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(self._centroids_path)
+
+    def _ensure_centroids(self):
+        """Centroid matrix from this session or the persisted table."""
+        import numpy as np
+
+        if self.centroids is None:
+            if not os.path.exists(self._centroids_path):
+                raise ValueError("index not built (no persisted centroids)")
+            rows = sorted(
+                self.spark.read.parquet(self._centroids_path).collect(),
+                key=lambda r: r["centroid_id"],
+            )
+            self.centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+        return self.centroids
 
     def delete(self, ids: list[str], build_index: bool = False) -> int:
         """Delete-by-id (the CRUD op the reference approximates with
@@ -194,8 +247,7 @@ class VectorCollection:
         if filter:
             corpus = corpus.where(filter)
         if use_index and os.path.exists(self._assignment):
-            if self.centroids is None:
-                raise ValueError("index not built in this session")
+            self._ensure_centroids()
             # Always pin the (possibly stale) index assignment to the CURRENT
             # snapshot: after delete()/upsert() with build_index=False the
             # assignment still carries dropped ids and pre-update vectors —

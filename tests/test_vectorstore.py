@@ -129,3 +129,43 @@ def test_indexed_search_scores_current_vectors_after_upsert(spark, tmp_path):
     hits = coll.search_by_text([old_text], limit=100, use_index=True, n_probe=4)
     x7 = [r for r in hits.collect() if r["id"] == "https://x/7"]
     assert all(abs(r["score"] - 1.0) > 1e-6 for r in x7)
+
+
+def test_incremental_index_update_finds_new_docs(spark, tmp_path):
+    """upsert(build_index='incremental'): the ingest delta is assigned to
+    the EXISTING centroids and appended — new docs become indexed-search
+    visible without a full rebuild, and the centroid table is untouched."""
+    import numpy as np
+
+    coll, docs = _fresh(spark, tmp_path, n_centroids=4)
+    cents_before = coll._ensure_centroids().copy()
+
+    new = spark.createDataFrame(
+        [("https://y/1", "totally novel incremental document body", "en")],
+        "id string, text string, lang string",
+    )
+    coll.upsert(new, build_index="incremental")
+    assert np.array_equal(coll._ensure_centroids(), cents_before)
+
+    hits = coll.search_by_text(
+        ["totally novel incremental document body"], limit=3,
+        use_index=True, n_probe=4,
+    ).collect()
+    top = [r for r in hits if r["rank"] == 1][0]
+    assert top["id"] == "https://y/1"
+    assert abs(top["score"] - 1.0) < 1e-6
+
+
+def test_indexed_search_from_fresh_session_instance(spark, tmp_path):
+    """Centroids persist with the index: a NEW VectorCollection object on
+    the same path answers indexed searches without retraining (the
+    cross-session / cross-node story)."""
+    from crawling_vectordb_llm_spark.vectorstore import VectorCollection
+
+    coll, docs = _fresh(spark, tmp_path, n_centroids=4)
+    target = docs.where(F.col("id") == "https://x/9").first()
+
+    fresh = VectorCollection(spark, str(tmp_path / "coll"), dim=64, n_centroids=4)
+    assert fresh.centroids is None
+    hits = fresh.search_by_text([target["text"]], limit=3, use_index=True).collect()
+    assert [r for r in hits if r["rank"] == 1][0]["id"] == "https://x/9"
