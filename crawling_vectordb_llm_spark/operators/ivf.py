@@ -46,13 +46,23 @@ def bounded_random_sample(
     clustered corpus trains on one region of the space and silently
     degrades recall (ADVICE r1).  The 1.2x oversample makes the
     post-sample limit almost surely full; seeded → deterministic per
-    layout."""
+    layout.
+
+    Cost note: corpora at or under sample_limit (every training set is,
+    by definition of the limit) pay exactly ONE collect — the limit+1
+    probe detects that everything fit and no count/sample jobs run.  Only
+    a genuinely larger corpus pays the count + sampled second pass."""
+    rows = df.select(*cols).limit(sample_limit + 1).collect()
+    if len(rows) <= sample_limit:
+        return rows
     n = df.count()
-    sampled = df.select(*cols)
-    if n > sample_limit:
-        fraction = min(1.0, 1.2 * sample_limit / n)
-        sampled = sampled.sample(fraction=fraction, seed=seed).limit(sample_limit)
-    return sampled.collect()
+    fraction = min(1.0, 1.2 * sample_limit / n)
+    return (
+        df.select(*cols)
+        .sample(fraction=fraction, seed=seed)
+        .limit(sample_limit)
+        .collect()
+    )
 
 
 def kmeans_centroids(

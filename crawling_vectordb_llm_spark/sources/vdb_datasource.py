@@ -67,11 +67,13 @@ def _arrow_field_ddl(field) -> str:
     return f"{field.name} {ddl}"
 
 
-def _version_files(path: str) -> list[str]:
-    v = latest_version(path)
+def _version_files(path: str, version: int | None = None) -> list[str]:
+    v = version if version is not None else latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no versions at {path}")
     vdir = os.path.join(path, f"v={v}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"version {v} does not exist at {path}")
     return sorted(
         os.path.join(vdir, f)
         for f in os.listdir(vdir)
@@ -82,9 +84,13 @@ def _version_files(path: str) -> list[str]:
 class VdbReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
+        # time travel: option("version", N) pins a snapshot (default:
+        # pointer), same contract as versioning.read_version
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [InputPartition(f) for f in _version_files(self.path)]
+        return [InputPartition(f) for f in _version_files(self.path, self.version)]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         import pyarrow.parquet as pq
@@ -161,7 +167,10 @@ class VdbDataSource(DataSource):
     def schema(self) -> str:
         import pyarrow.parquet as pq
 
-        files = _version_files(self.options["path"])
+        v = self.options.get("version")
+        files = _version_files(
+            self.options["path"], int(v) if v is not None else None
+        )
         if not files:
             raise FileNotFoundError(f"version at {self.options['path']} is empty")
         sch = pq.read_schema(files[0])

@@ -153,3 +153,22 @@ def test_vdb_format_vector_columns_survive(spark, tmp_path):
     assert back.schema["vector"].dataType.simpleString() == "array<float>"
     vals = {r["id"]: r["vector"] for r in back.collect()}
     assert vals["a"] == [1.0, 2.0]
+
+
+def test_vdb_format_time_travel_option(spark, tmp_path):
+    """option('version', N) pins a snapshot through the format reader —
+    the reader-side time-travel contract of versioning.read_version."""
+    from crawling_vectordb_llm_spark.sources import vdb_datasource
+
+    vdb_datasource.register(spark)
+    path = str(tmp_path / "tt")
+    for n in (100, 5):
+        spark.range(n).selectExpr("CAST(id AS STRING) AS id").write.format(
+            "vdb"
+        ).option("path", path).mode("append").save()
+    read = lambda **kw: (  # noqa: E731
+        spark.read.format("vdb").options(path=path, **kw).load().count()
+    )
+    assert read() == 5            # pointer follows the latest write
+    assert read(version="1") == 100
+    assert read(version="2") == 5
