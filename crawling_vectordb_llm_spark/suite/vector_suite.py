@@ -625,3 +625,81 @@ def q_cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "doc_id", "score", "ce_score", "blended", "ce_rank"
     )
+
+
+_SIGN_WORD_SQL = """
+  aggregate(
+    zip_with(slice(cast(embedding as array<double>), {lo}, 32), sequence(0, 31),
+             (x, i) -> IF(x > 0, shiftleft(cast(1 as bigint), i),
+                          cast(0 as bigint))),
+    cast(0 as bigint), (acc, v) -> acc + v)
+"""
+
+_HAMMING_ORACLE = """
+WITH words AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, 33),
+           i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                     THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS w0,
+         list_sum(list_transform(range(1, 33),
+           i -> CASE WHEN CAST(embedding[i + 32] AS DOUBLE) > 0
+                     THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS w1
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hamming
+  FROM words q CROSS JOIN words c
+  WHERE q.vec_id < 5
+), ranked AS (
+  SELECT query_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, CAST(hamming AS INT) AS hamming
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("hamming_sign_ann", oracle=_HAMMING_ORACLE)
+def q_hamming_sign_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization + Hamming top-k — the 32x storage
+    reduction rung below int8/PQ on the quantization ladder: each 64-d
+    float vector collapses to two 32-bit sign words packed in BIGINTs,
+    search is XOR + popcount, and the whole pipeline (packing, distance,
+    ranking) runs as JVM codegen with no Python and no float I/O.  At
+    100 TB the packed-word table is the scan target (16 bytes/vector vs
+    256) and this stage is the candidate generator in front of an exact
+    rerank (knn_rerank_shortlist), exactly like the int8 path
+    (knn_quantized_rerank).  Two 32-bit words rather than one 64-bit word
+    keeps every shift below the sign bit — identical semantics in both
+    engines — and generalizes to any dim/32 words."""
+    from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+
+    emb = _emb(spark, sf_dir)
+    words = emb.select(
+        "vec_id",
+        F.expr(_SIGN_WORD_SQL.format(lo=1)).alias("w0"),
+        F.expr(_SIGN_WORD_SQL.format(lo=33)).alias("w1"),
+    )
+    q = F.broadcast(
+        words.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("w0").alias("qw0"),
+            F.col("w1").alias("qw1"),
+        )
+    )
+    scored = q.crossJoin(words).select(
+        "query_id",
+        "vec_id",
+        (
+            F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+            + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+        ).alias("hamming"),
+    )
+    return grouped_topk(
+        scored, ["query_id"], [F.asc("hamming"), F.asc("vec_id")], 10
+    ).select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
