@@ -703,3 +703,49 @@ def q_hamming_sign_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", F.col("rank").cast("int").alias("rank"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+@query("hamming_knn_rerank", oracle=_KNN_ORACLE.format(nq=N_QUERIES, k=TOP_K))
+def q_hamming_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN with the binary rung as stage 1: Hamming-over-sign-
+    words shortlist (XOR+popcount codegen scan of 16-byte rows) → exact
+    float64 cosine rerank of the shortlist only (shared
+    knn_rerank_shortlist).  The oracle is EXACT kNN, so this entry is a
+    recall=1.0 gate exactly like quantized_knn_rerank — if the sign-bit
+    stage ever sheds a true top-3 neighbor at the fixture scale, the
+    hash comparison fails.  Shortlist 200 (10% over-fetch at sf0.01)
+    absorbs the crudeness of 1-bit quantization; the knob trades scan
+    bytes (16/vector) against rerank reads, same economics as int8/PQ."""
+    from crawling_vectordb_llm_spark.operators.knn import knn_rerank_shortlist
+    from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    words = emb.select(
+        "vec_id",
+        F.expr(_SIGN_WORD_SQL.format(lo=1)).alias("w0"),
+        F.expr(_SIGN_WORD_SQL.format(lo=33)).alias("w1"),
+    )
+    q = F.broadcast(
+        words.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("w0").alias("qw0"), F.col("w1").alias("qw1"),
+        )
+    )
+    scored = q.crossJoin(words).select(
+        "query_id", "vec_id",
+        (
+            F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+            + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+        ).alias("h"),
+    )
+    cand = grouped_topk(
+        scored, ["query_id"], [F.asc("h"), F.asc("vec_id")], 200
+    ).select("query_id", "vec_id")
+    return knn_rerank_shortlist(
+        cand, queries, emb, k=TOP_K, corpus_id="vec_id"
+    ).select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "score"
+    )
