@@ -69,6 +69,9 @@ HEADLINE = [
     "rolling_distinct_users_hll",
     "bigram_logprob_score",
     "triangle_count",
+    "hamming_sign_ann",
+    "hamming_knn_rerank",
+    "ngram_lm_decontamination",
 ]
 
 

@@ -85,3 +85,49 @@ def int8_quantize(a: Column | str, scale: Column) -> Column:
         F.array_repeat(scale, F.size(e)),
         lambda x, s: F.floor(x / s + F.lit(0.5)).cast("int"),
     )
+
+
+def sign_pack_words(a: Column | str, dim: int) -> Column:
+    """Binary (1-bit) quantization: pack the vector's sign bits into
+    array<bigint> words of 32 bits each — dim/32 words, 32x smaller than
+    float32.  Hamming distance between two packed vectors is then
+    sum(bit_count(w_a XOR w_b)) per word, fully codegen (see
+    hamming_distance).  32-bit words inside BIGINTs keep every shift
+    below the sign bit, so the packing is bit-identical in any engine.
+
+    The cheapest rung of the quantization ladder (sign < int8 < PQ <
+    float): at 100 TB the packed column is the scan target for candidate
+    generation, reranked exactly on the shortlist."""
+    if dim % 32:
+        raise ValueError(f"dim {dim} not a multiple of 32")
+    e = as_double_array(a)
+    words = [
+        F.aggregate(
+            F.zip_with(
+                F.slice(e, k * 32 + 1, 32),
+                F.sequence(F.lit(0), F.lit(31)),
+                # call_function: PySpark's shiftleft wrapper only accepts a
+                # literal shift amount, the SQL function takes a column
+                lambda x, i: F.when(
+                    x > 0,
+                    F.call_function("shiftleft", F.lit(1).cast("bigint"), i),
+                ).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        for k in range(dim // 32)
+    ]
+    return F.array(*words)
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two sign_pack_words columns: per-word
+    XOR + popcount, summed — pure codegen, no Python."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )

@@ -627,14 +627,6 @@ def q_cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIGN_WORD_SQL = """
-  aggregate(
-    zip_with(slice(cast(embedding as array<double>), {lo}, 32), sequence(0, 31),
-             (x, i) -> IF(x > 0, shiftleft(cast(1 as bigint), i),
-                          cast(0 as bigint))),
-    cast(0 as bigint), (acc, v) -> acc + v)
-"""
-
 _HAMMING_ORACLE = """
 WITH words AS (
   SELECT vec_id,
@@ -677,25 +669,16 @@ def q_hamming_sign_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawling_vectordb_llm_spark.operators.topk import grouped_topk
 
     emb = _emb(spark, sf_dir)
-    words = emb.select(
-        "vec_id",
-        F.expr(_SIGN_WORD_SQL.format(lo=1)).alias("w0"),
-        F.expr(_SIGN_WORD_SQL.format(lo=33)).alias("w1"),
-    )
+    words = emb.select("vec_id", V.sign_pack_words("embedding", 64).alias("w"))
     q = F.broadcast(
         words.where(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("w0").alias("qw0"),
-            F.col("w1").alias("qw1"),
+            F.col("vec_id").alias("query_id"), F.col("w").alias("qw")
         )
     )
     scored = q.crossJoin(words).select(
         "query_id",
         "vec_id",
-        (
-            F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
-            + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
-        ).alias("hamming"),
+        V.hamming_distance("qw", "w").alias("hamming"),
     )
     return grouped_topk(
         scored, ["query_id"], [F.asc("hamming"), F.asc("vec_id")], 10
@@ -723,23 +706,14 @@ def q_hamming_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    words = emb.select(
-        "vec_id",
-        F.expr(_SIGN_WORD_SQL.format(lo=1)).alias("w0"),
-        F.expr(_SIGN_WORD_SQL.format(lo=33)).alias("w1"),
-    )
+    words = emb.select("vec_id", V.sign_pack_words("embedding", 64).alias("w"))
     q = F.broadcast(
         words.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("w0").alias("qw0"), F.col("w1").alias("qw1"),
+            F.col("vec_id").alias("query_id"), F.col("w").alias("qw")
         )
     )
     scored = q.crossJoin(words).select(
-        "query_id", "vec_id",
-        (
-            F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
-            + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
-        ).alias("h"),
+        "query_id", "vec_id", V.hamming_distance("qw", "w").alias("h")
     )
     cand = grouped_topk(
         scored, ["query_id"], [F.asc("h"), F.asc("vec_id")], 200

@@ -55,3 +55,40 @@ def test_cosine_kernel_bounds(vals):
     if np.linalg.norm(w) > 0:
         wn = w / np.linalg.norm(w)
         assert -1.0 - 1e-9 <= float(vn @ wn) <= 1.0 + 1e-9
+
+def test_sign_pack_words_and_hamming_properties(spark):
+    """sign_pack_words: dim/32 bigint words, every word within 32-bit
+    range; hamming_distance: zero iff same sign pattern, symmetric, and
+    equals the popcount of flipped dims on a planted pair."""
+    from pyspark.sql import functions as F
+
+    from crawling_vectordb_llm_spark.functions import vector as V
+
+    a = [1.0] * 64
+    b = [1.0] * 64
+    for i in (0, 5, 33, 63):
+        b[i] = -1.0
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        V.sign_pack_words("a", 64).alias("wa"),
+        V.sign_pack_words("b", 64).alias("wb"),
+    ).first()
+    assert len(row["wa"]) == 2
+    assert all(0 <= w < 2**32 for w in row["wa"])
+    d = df.select(
+        V.hamming_distance(
+            V.sign_pack_words("a", 64), V.sign_pack_words("b", 64)
+        ).alias("ab"),
+        V.hamming_distance(
+            V.sign_pack_words("b", 64), V.sign_pack_words("a", 64)
+        ).alias("ba"),
+        V.hamming_distance(
+            V.sign_pack_words("a", 64), V.sign_pack_words("a", 64)
+        ).alias("aa"),
+    ).first()
+    assert d["ab"] == d["ba"] == 4 and d["aa"] == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of 32"):
+        V.sign_pack_words("a", 48)
