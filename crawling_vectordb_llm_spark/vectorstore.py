@@ -173,16 +173,20 @@ class VectorCollection:
             delta = coll.join(existing, "id", "left_anti")
             assign_centroids(
                 delta, cents, id_col="id", vec_col="vector"
-            ).write.mode("append").partitionBy("centroid_id").parquet(
-                self._assignment
-            )
+            ).select("id", "centroid_id").write.mode("append").partitionBy(
+                "centroid_id"
+            ).parquet(self._assignment)
             return
         self.centroids = kmeans_centroids(coll, self.n_centroids, vec_col="vector")
+        # the artifact stores ONLY (id, centroid_id): search always joins
+        # back to the live snapshot for vectors (snapshot consistency), so
+        # persisting vectors here would double the collection's footprint
+        # for bytes nothing reads
         assign_centroids(
             coll, self.centroids, id_col="id", vec_col="vector"
-        ).write.mode("overwrite").partitionBy("centroid_id").parquet(
-            self._assignment
-        )
+        ).select("id", "centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(self._assignment)
         self.spark.createDataFrame(
             [(i, [float(x) for x in self.centroids[i]]) for i in range(len(self.centroids))],
             "centroid_id int, centroid array<double>",

@@ -172,3 +172,31 @@ def test_vdb_format_time_travel_option(spark, tmp_path):
     assert read() == 5            # pointer follows the latest write
     assert read(version="1") == 100
     assert read(version="2") == 5
+
+
+def test_vdb_writer_abort_and_crash_safety(spark, tmp_path):
+    """Failure contract of the vdb writer: an aborted/failed job must
+    leave the pointer and every committed version untouched — the only
+    residue is an orphaned staging directory, never a half-visible
+    version."""
+    from crawling_vectordb_llm_spark import versioning as V
+    from crawling_vectordb_llm_spark.sources import vdb_datasource
+
+    vdb_datasource.register(spark)
+    path = str(tmp_path / "safe")
+    spark.range(10).selectExpr("CAST(id AS STRING) AS id").write.format(
+        "vdb"
+    ).option("path", path).mode("append").save()
+    assert V.latest_version(path) == 1
+
+    # a failing write: one task throws mid-job → Spark aborts the write
+    doomed = spark.range(100).selectExpr(
+        "CAST(assert_true(id < 50, 'boom') AS STRING) AS id"
+    )
+    with pytest.raises(Exception, match="boom"):
+        doomed.write.format("vdb").option("path", path).mode("append").save()
+
+    # pointer and v=1 untouched; no v=2 appeared
+    assert V.latest_version(path) == 1
+    assert V.list_versions(path) == [1]
+    assert spark.read.format("vdb").option("path", path).load().count() == 10
