@@ -411,14 +411,34 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(queries, emb, k=10, n_centroids=16, n_probe=8)
 
 
-@query("multimodal_resize")
+@query(
+    "multimodal_resize",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         (16 + doc_id % 48 + 1) // 2 AS nw,
+         (16 + (doc_id * 7) % 32 + 1) // 2 AS nh
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, 'FKM1' AS magic,
+       CAST(nw AS INT) AS width, CAST(nh AS INT) AS height,
+       CAST(doc_id % 3 AS INT) AS kind_id,
+       CAST(nw * nh AS BIGINT) AS payload_bytes,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(nw AS INT) AS w_out
+FROM d
+""",
+)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the resize stage of the multimodal pipeline — synth
-    media blobs downsampled 2x (nearest-neighbor stand-in at the real
-    decoder seam), headers rewritten, then the resized metadata re-decoded
-    to prove the output blobs are themselves valid inputs (op closure:
-    resize o decode = decode o resize on dims)."""
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    """The resize stage of the multimodal pipeline — synth media blobs
+    downsampled 2x (nearest-neighbor stand-in at the real decoder seam),
+    headers rewritten, then the resized metadata re-decoded to prove the
+    output blobs are themselves valid inputs (op closure: resize o decode
+    = decode o resize on dims).  Oracle-checked: the FKM1 dims are pure
+    functions of doc_id, so the re-decoded header of the half-size blob —
+    ceil(w/2) × ceil(h/2), kind, payload bytes — reproduces in SQL."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     media = MM.synth_media(docs)
     resized = MM.resize_media(media, factor=2)
     meta = MM.decode_media_meta(resized.select("doc_id", "media"))
