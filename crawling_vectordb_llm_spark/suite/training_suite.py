@@ -755,3 +755,27 @@ def q_ngram_lm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "sum_lp_known",
     )
+
+
+@query("bpe_token_count")
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (BPE merge selection is not SQL-expressible; properties
+    pinned in tests/test_bpe.py — determinism, reversibility, distributed
+    == local): train a BPE vocabulary on a seeded corpus sample (driver,
+    bounded — the codebook-trainer contract), then tokenize the whole
+    table with the broadcast merge ranks in an iterator pandas_udf and
+    report per-doc BPE vs whitespace token counts — the sizing signal
+    sequence packing and context budgeting consume."""
+    from crawling_vectordb_llm_spark.operators.bpe import (
+        bpe_tokenize,
+        train_bpe_on_sample,
+    )
+
+    d = _docs(spark, sf_dir)
+    merges = train_bpe_on_sample(d, n_merges=200, sample_limit=2_000)
+    toks = bpe_tokenize(d, merges)
+    return toks.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_words"),
+    )
