@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -156,6 +157,72 @@ class VdbWriter(DataSourceWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
+class VdbStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: every micro-batch commits as ONE new immutable
+    version (same stage-then-promote protocol as the batch writer), so a
+    streaming ingest builds the exact version chain a sequence of batch
+    writes would — readers always see whole batches, never partial ones.
+
+    Exactly-once across restarts: the engine may replay a micro-batch
+    after a crash between sink-commit and checkpoint-advance; commit()
+    records the batchId in a `_batch=<id>` marker next to the version and
+    silently skips a batchId it has already promoted, so a replayed batch
+    cannot double-land."""
+
+    def __init__(self, options: dict, schema) -> None:
+        self.path = options["path"]
+        self.spark_schema = schema
+
+    def _staging(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"_staging_batch_{batch_id}")
+
+    def write(self, it: Iterator) -> _Staged:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        batch_id = ctx.getLocalProperty("streaming.sql.batchId")
+        staging = self._staging(int(batch_id))
+        rows = [r.asDict() for r in it]
+        if not rows:
+            return _Staged(file=None)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        os.makedirs(staging, exist_ok=True)
+        f = os.path.join(staging, f"part-{ctx.partitionId():05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=to_arrow_schema(self.spark_schema)), f
+        )
+        return _Staged(file=f)
+
+    def commit(self, messages: Sequence[_Staged], batchId: int) -> None:
+        import tempfile
+
+        os.makedirs(self.path, exist_ok=True)
+        marker = os.path.join(self.path, f"_batch={batchId}")
+        if os.path.exists(marker):  # replayed micro-batch: already landed
+            shutil.rmtree(self._staging(batchId), ignore_errors=True)
+            return
+        files = [m.file for m in messages if m and m.file]
+        vs = _versions(self.path)
+        v = (vs[-1] + 1) if vs else 1
+        vdir = os.path.join(self.path, f"v={v}")
+        os.makedirs(vdir)
+        for f in files:
+            shutil.move(f, os.path.join(vdir, os.path.basename(f)))
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._latest_")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, os.path.join(self.path, "_LATEST"))
+        with open(marker, "w") as fh:
+            fh.write(str(v))
+        shutil.rmtree(self._staging(batchId), ignore_errors=True)
+
+    def abort(self, messages: Sequence[_Staged], batchId: int) -> None:
+        shutil.rmtree(self._staging(batchId), ignore_errors=True)
+
+
 class VdbDataSource(DataSource):
     """`df.write.format("vdb").option("path", p).mode("append").save()` /
     `spark.read.format("vdb").option("path", p).load()`."""
@@ -181,6 +248,9 @@ class VdbDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> VdbWriter:
         return VdbWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> VdbStreamWriter:
+        return VdbStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:

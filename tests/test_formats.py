@@ -200,3 +200,48 @@ def test_vdb_writer_abort_and_crash_safety(spark, tmp_path):
     assert V.latest_version(path) == 1
     assert V.list_versions(path) == [1]
     assert spark.read.format("vdb").option("path", path).load().count() == 10
+
+
+def test_vdb_streaming_sink_versions_per_batch(spark, tmp_path):
+    """writeStream.format('vdb'): each micro-batch promotes to one
+    immutable version; restarts off the shared checkpoint append new
+    batches without double-landing replayed ones."""
+    from crawling_vectordb_llm_spark import versioning as V
+    from crawling_vectordb_llm_spark.sources import crawl_datasource, vdb_datasource
+
+    vdb_datasource.register(spark)
+    crawl_datasource.register_stream(spark)
+    path = str(tmp_path / "streamed")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("synthetic_crawl_stream")
+            .option("pages", "30")
+            .option("batchpages", "10")
+            .load()
+            .writeStream.format("vdb")
+            .option("path", path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    v1 = V.latest_version(path)
+    assert v1 is not None
+    assert spark.read.format("vdb").option("path", path).load().count() == 10
+
+    drain()  # next 10 pages land as a NEW version
+    drain()  # and the last 10
+    assert V.latest_version(path) > v1
+    # pointer version holds only the final batch; the union of versions is
+    # the full feed with no page duplicated or lost
+    urls = set()
+    total = 0
+    for v in V.list_versions(path):
+        rows = [r["url"] for r in V.read_version(spark, path, v).collect()]
+        urls.update(rows)
+        total += len(rows)
+    assert total == 30 and len(urls) == 30
