@@ -129,3 +129,33 @@ def vacuum(path: str, keep: int = 2) -> list[int]:
     for v in removable:
         shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
     return removable
+
+
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY analog (Delta/Iceberg parity): one row per
+    version with its physical layout — file count, bytes, layout kind
+    (cow snapshot / mor base / mor delta), and whether the pointer
+    currently targets it.  Driver-side directory walk (version counts are
+    small by construction); returned as a DataFrame so it composes with
+    SQL like any other table."""
+    live = latest_version(path)
+    rows = []
+    for v in _versions(path):
+        vdir = os.path.join(path, f"v={v}")
+        kind = "cow"
+        if os.path.isdir(os.path.join(vdir, "base")):
+            kind = "base"
+        elif os.path.isdir(os.path.join(vdir, "delta")):
+            kind = "delta"
+        n_files = 0
+        n_bytes = 0
+        for root, _dirs, files in os.walk(vdir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+        rows.append((v, kind, n_files, n_bytes, v == live))
+    return spark.createDataFrame(
+        rows,
+        "version int, kind string, n_files int, n_bytes bigint, is_latest boolean",
+    )

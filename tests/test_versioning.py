@@ -63,3 +63,22 @@ def test_compact_respects_target_rows_per_file(spark, tmp_path):
     V.versioned_write(spark.range(100).repartition(8), path)
     V.compact(spark, path, target_rows_per_file=30)  # ceil(100/30) = 4 files
     assert len(glob.glob(f"{path}/v=2/part-*.parquet")) == 4
+
+
+def test_history_describes_versions(spark, tmp_path):
+    """history(): one row per version, correct layout kind and pointer."""
+    from crawling_vectordb_llm_spark import mor
+    from crawling_vectordb_llm_spark import versioning as V
+
+    path = str(tmp_path / "h")
+    mor.mor_write_base(spark.range(100).selectExpr("id", "id*2 AS v"), path)
+    mor.mor_delete(spark.range(10).select("id"), path)
+    mor.mor_compact(spark, path)
+
+    h = {r["version"]: r for r in V.history(spark, path).collect()}
+    assert set(h) == {1, 2, 3}
+    assert h[1]["kind"] == "base" and not h[1]["is_latest"]
+    assert h[2]["kind"] == "delta"
+    assert h[3]["kind"] == "base" and h[3]["is_latest"]
+    assert all(r["n_files"] > 0 for r in h.values() if r["kind"] != "delta")
+    assert h[3]["n_bytes"] > 0
