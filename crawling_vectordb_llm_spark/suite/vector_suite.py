@@ -723,3 +723,98 @@ def q_hamming_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "score"
     )
+
+
+_ROCCHIO_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored1 AS (
+  SELECT q.query_id, e.vec_id, q.qv,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS s
+  FROM q CROSS JOIN embeddings e
+), ranked1 AS (
+  SELECT query_id, vec_id, qv,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC)
+           AS rank
+  FROM scored1
+), fb AS (
+  SELECT r1.query_id, r1.qv,
+         CAST(e1.embedding AS DOUBLE[]) AS v1,
+         CAST(e2.embedding AS DOUBLE[]) AS v2,
+         CAST(e3.embedding AS DOUBLE[]) AS v3
+  FROM (SELECT query_id, qv, vec_id FROM ranked1 WHERE rank = 1) r1
+  JOIN (SELECT query_id, vec_id FROM ranked1 WHERE rank = 2) r2 USING (query_id)
+  JOIN (SELECT query_id, vec_id FROM ranked1 WHERE rank = 3) r3 USING (query_id)
+  JOIN embeddings e1 ON e1.vec_id = r1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = r2.vec_id
+  JOIN embeddings e3 ON e3.vec_id = r3.vec_id
+), expanded AS (
+  SELECT query_id,
+         list_transform(range(1, len(qv) + 1),
+           i -> 0.7 * qv[i] + 0.3 * ((v1[i] + v2[i] + v3[i]) / 3.0)) AS ev
+  FROM fb
+), scored2 AS (
+  SELECT x.query_id, e.vec_id,
+         list_cosine_similarity(x.ev, CAST(e.embedding AS DOUBLE[])) AS s
+  FROM expanded x CROSS JOIN embeddings e
+), ranked2 AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC)
+           AS rank
+  FROM scored2
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, ROUND(s, 6) AS score
+FROM ranked2 WHERE rank <= 5
+"""
+
+
+@query("rocchio_expansion_search", oracle=_ROCCHIO_ORACLE)
+def q_rocchio_expansion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio): retrieve top-3 per query,
+    expand the query vector toward their elementwise mean (q' = 0.7·q +
+    0.3·centroid), re-search with q' — the classic recall-improving
+    second pass a RAG stack runs when first-pass retrieval is thin.  Two
+    exact kNN passes composed entirely from JVM expressions; the top-3
+    vectors join back by EXPLICIT rank (three equi-joins, not an
+    aggregation) so the float summation order is pinned and the DuckDB
+    oracle reproduces the expansion bit-for-bit.
+
+    Scale shape: pass 1 is the broadcast-queries kNN (shuffle independent
+    of corpus size); the feedback join touches k rows per query; pass 2
+    re-broadcasts the 5 expanded vectors — corpus is never shuffled."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pass1 = knn_join_sql(q, emb, k=3, corpus_id="vec_id")
+
+    def _vec_at(rank: int, alias: str) -> DataFrame:
+        return (
+            pass1.where(F.col("rank") == rank)
+            .select("query_id", "vec_id")
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .select("query_id", V.as_double_array("embedding").alias(alias))
+        )
+
+    fb = (
+        q.select("query_id", V.as_double_array("query_vec").alias("qv"))
+        .join(_vec_at(1, "v1"), "query_id")
+        .join(_vec_at(2, "v2"), "query_id")
+        .join(_vec_at(3, "v3"), "query_id")
+    )
+    expanded = fb.select(
+        "query_id",
+        F.zip_with(
+            F.col("qv"),
+            F.zip_with(
+                F.col("v1"),
+                F.zip_with(F.col("v2"), F.col("v3"), lambda a, b: a + b),
+                lambda a, b: a + b,
+            ),
+            lambda qx, sx: qx * 0.7 + (sx / 3.0) * 0.3,
+        ).alias("query_vec"),
+    )
+    return knn_join_sql(expanded, emb, k=5, corpus_id="vec_id").select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "score"
+    )
