@@ -66,8 +66,10 @@ def test_approx_percentile_accuracy(spark):
 
 
 def test_approx_distinct_accuracy(spark):
-    approx = {
-        r["l_returnflag"]: r["approx_parts"]
+    """The query carries its own accuracy gate now (approx_ok = estimate
+    within 5% of exact); its exact column must match count_distinct's."""
+    rows = {
+        r["l_returnflag"]: r
         for r in QUERIES["approx_distinct"](spark, SF_SMALL).collect()
     }
     exact = {
@@ -75,7 +77,8 @@ def test_approx_distinct_accuracy(spark):
         for r in QUERIES["count_distinct"](spark, SF_SMALL).collect()
     }
     for flag, n in exact.items():
-        assert abs(approx[flag] - n) / n < 0.1
+        assert rows[flag]["exact_parts"] == n
+        assert rows[flag]["approx_ok"]
 
 
 def test_rows_only_queries_nonempty(spark):
