@@ -55,6 +55,82 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
+_PROTOBUF_SHIPPED: set[int] = set()
+
+
+def ensure_protobuf(spark: SparkSession | None = None) -> bool:
+    """Make `google.protobuf` importable, preferring a real install.
+
+    transformWithStateInPandas needs protobuf on BOTH sides: the driver
+    builds StateMessage requests and every Python worker runs the state
+    API client.  When the package is absent (this container has no
+    network for pip), fall back to the vendored pure-Python runtime in
+    `vendor/` (see vendor/README.md for provenance): append it to the
+    driver's sys.path and ship `vendor/google` to workers as a py-file
+    zip — the identical artifact mechanics a 100 TB cluster job uses.
+
+    Returns True iff `google.protobuf` imports afterwards.
+    """
+    import sys
+
+    vendor = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor"
+    )
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        if not os.path.isdir(os.path.join(vendor, "google", "protobuf")):
+            return False
+        if vendor not in sys.path:
+            sys.path.append(vendor)
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            return False
+        # Future JVMs (and their python workers) inherit this env var;
+        # PythonWorkerFactory merges it into every worker's PYTHONPATH.
+        env_pp = os.environ.get("PYTHONPATH", "")
+        if vendor not in env_pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                vendor + os.pathsep + env_pp if env_pp else vendor
+            )
+    if spark is not None:
+        sc = spark.sparkContext
+        # transformWithStateInPandas runs a long-lived "driver worker"
+        # (StreamingPythonRunner) that never sees addPyFile includes — its
+        # sys.path is built from the udf's envVars PYTHONPATH.  Those
+        # envVars are snapshotted from sc.environment at udf CREATION
+        # time, so patching the dict here covers sessions built before
+        # this module was imported (e.g. an external harness session).
+        if os.path.isdir(os.path.join(vendor, "google", "protobuf")):
+            env = sc.environment
+            cur = env.get("PYTHONPATH", "")
+            if vendor not in cur.split(os.pathsep):
+                env["PYTHONPATH"] = (
+                    vendor + os.pathsep + cur if cur else vendor
+                )
+        key = id(sc)
+        if key not in _PROTOBUF_SHIPPED:
+            zpath = os.path.join(
+                tempfile.gettempdir(), "cvls_vendor_google_protobuf.zip"
+            )
+            if os.path.isdir(os.path.join(vendor, "google")):
+                if not os.path.exists(zpath):
+                    tmp = zpath + f".tmp{os.getpid()}"
+                    with zipfile.ZipFile(tmp, "w") as z:
+                        for root, _, files in os.walk(
+                            os.path.join(vendor, "google")
+                        ):
+                            for f in files:
+                                if f.endswith((".py", "LICENSE")):
+                                    full = os.path.join(root, f)
+                                    z.write(full, os.path.relpath(full, vendor))
+                    os.replace(tmp, zpath)
+                sc.addPyFile(zpath)
+            _PROTOBUF_SHIPPED.add(key)
+    return True
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Runtime confs the engine requires regardless of who built the
     session (the external driver builds its own):

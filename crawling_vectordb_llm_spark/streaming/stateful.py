@@ -149,36 +149,53 @@ def run_tws_user_totals(spark: SparkSession, parquet_path: str, max_files: int =
     Returns the raw memory-sink DataFrame (one emission per key per
     micro-batch touching it); callers reduce to the max-n row per key.
     The RocksDB state store is required by the API and set on THIS
-    session (scoped, not global)."""
+    session and restored afterwards (other streaming queries keep the
+    default HDFS-backed provider)."""
     import uuid
 
+    from crawling_vectordb_llm_spark.shipping import ensure_protobuf
+
+    if not ensure_protobuf(spark):
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf and neither an "
+            "installed copy nor the vendored runtime (vendor/) is available"
+        )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    schema = spark.read.parquet(parquet_path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", str(max_files))
-        .parquet(parquet_path)
-    )
-    out = (
-        stream.select("user_id", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            statefulProcessor=UserTotalsProcessor.build(),
-            outputStructType="user_id long, n_events long, total_value double",
-            outputMode="Update",
-            timeMode="None",
+    try:
+        schema = spark.read.parquet(parquet_path).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(max_files))
+            .parquet(parquet_path)
         )
-    )
-    name = f"tws_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+        out = (
+            stream.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=UserTotalsProcessor.build(),
+                outputStructType="user_id long, n_events long, total_value double",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)

@@ -76,18 +76,15 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     assert multi > 0
 
 def _has_protobuf() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
+    from crawling_vectordb_llm_spark.shipping import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas needs google.protobuf (its state "
-    "server speaks protobuf); not installed in this container",
+    "server speaks protobuf); neither installed nor vendored",
 )
 def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
     """Spark 4 transformWithStateInPandas (typed value state + RocksDB
