@@ -35,54 +35,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawling_vectordb_llm_spark.versioning import (
-    _versions,
     latest_version,
+    promote_staged,
+    stage_path,
     versioned_write,
 )
 
 
-def _next_version_dir(path: str) -> tuple[int, str]:
-    os.makedirs(path, exist_ok=True)
-    vs = _versions(path)
-    v = (vs[-1] + 1) if vs else 1
-    return v, os.path.join(path, f"v={v}")
-
-
-def _flip_pointer(path: str, version: int) -> None:
-    import tempfile
-
-    fd, tmp = tempfile.mkstemp(dir=path, prefix="._latest_")
-    with os.fdopen(fd, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(path, "_LATEST"))
-
-
 def mor_write_base(df: DataFrame, path: str) -> int:
-    """Full snapshot as v=N/base (the MOR analog of versioned_write)."""
-    v, vdir = _next_version_dir(path)
-    df.write.mode("overwrite").parquet(os.path.join(vdir, "base"))
-    _flip_pointer(path, v)
-    return v
+    """Full snapshot as v=N/base (the MOR analog of versioned_write).
+    Staged then atomically renamed — a version directory is only ever
+    observed complete (ADVICE r2)."""
+    staged = stage_path(path)
+    df.write.mode("overwrite").parquet(os.path.join(staged, "base"))
+    return promote_staged(path, staged)
 
 
 def mor_upsert(rows: DataFrame, path: str, key: str = "id") -> int:
     """Land an upsert as a delta version: only the new rows are written
     (their keys double as the implicit delete set).  O(|rows|) I/O."""
-    v, vdir = _next_version_dir(path)
-    rows.write.mode("overwrite").parquet(os.path.join(vdir, "delta", "upserts"))
-    _flip_pointer(path, v)
-    return v
+    staged = stage_path(path)
+    rows.write.mode("overwrite").parquet(os.path.join(staged, "delta", "upserts"))
+    return promote_staged(path, staged)
 
 
 def mor_delete(keys: DataFrame, path: str, key: str = "id") -> int:
     """Land a delete as a delta version holding only the key column —
     the equality-delete file.  O(|keys|) I/O."""
-    v, vdir = _next_version_dir(path)
+    staged = stage_path(path)
     keys.select(key).write.mode("overwrite").parquet(
-        os.path.join(vdir, "delta", "deletes")
+        os.path.join(staged, "delta", "deletes")
     )
-    _flip_pointer(path, v)
-    return v
+    return promote_staged(path, staged)
 
 
 def mor_read(

@@ -4,11 +4,13 @@ re-expressed as `df.write.format("vdb")`) and a reader for round trips
 (Python Data Source API, Spark 4.0+).
 
 Write path: every task stages its partition as one parquet file; the
-driver-side `commit` promotes the staged files into the next `v=N`
-directory and flips the `_LATEST` pointer — the exact versioned-write
-contract of versioning.py, so a `vdb` write is snapshot-isolated and
-crash-safe (an aborted job leaves only an orphaned staging dir, never a
-half-visible version).  `path` must be storage every node can reach
+driver-side `commit` assembles the next version in a staging directory
+(append mode additionally hardlinks the prior version's files — file
+reuse, not rewrite), atomically renames it to `v=N`, then flips the
+`_LATEST` pointer — the versioned-write contract of versioning.py, so a
+`vdb` write is snapshot-isolated and crash-safe (an aborted or crashed
+job leaves only an orphaned staging dir, never a half-visible version).
+`path` must be storage every node can reach
 (local disk in local mode, a shared filesystem / object store on a
 cluster) — the same assumption versioning.py already makes.
 
@@ -34,7 +36,13 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from crawling_vectordb_llm_spark.versioning import _versions, latest_version
+from crawling_vectordb_llm_spark.versioning import (
+    _flip_pointer,
+    _versions,
+    latest_version,
+    promote_staged,
+    stage_path,
+)
 
 _ARROW_TO_DDL = {
     "string": "string",
@@ -106,13 +114,40 @@ class _Staged(WriterCommitMessage):
     file: str | None
 
 
+def _carry_forward(path: str, staged: str, start: int) -> int:
+    """Hardlink (fallback: copy) the current version's files into the
+    staged dir — append semantics reuse prior data files instead of
+    rewriting them, exactly how Delta/Iceberg snapshots share files.
+    Returns the next file ordinal."""
+    i = start
+    prior = latest_version(path)
+    if prior is None:
+        return i
+    for f in _version_files(path, prior):
+        dst = os.path.join(staged, f"part-{i:05d}-{uuid.uuid4().hex[:8]}.parquet")
+        try:
+            os.link(f, dst)
+        except OSError:
+            shutil.copy2(f, dst)
+        i += 1
+    return i
+
+
 class VdbWriter(DataSourceWriter):
     """Stage-then-promote versioned sink (S5 upsert sink semantics: each
-    job lands one immutable new version; concurrent readers keep theirs)."""
+    job lands one immutable new version; concurrent readers keep theirs).
+
+    mode("append") unions the prior version's files (hardlinked, not
+    rewritten) with the incoming rows; mode("overwrite") lands a snapshot
+    of only the incoming rows (ADVICE r2 — append used to silently drop
+    prior rows).  Either way the new version directory is built fully in
+    staging and atomically renamed into place, so a crash mid-commit can
+    never leave a half-visible version."""
 
     def __init__(self, options: dict, schema, overwrite: bool) -> None:
         self.path = options["path"]
         self.spark_schema = schema
+        self.overwrite = overwrite
         # unique per job so two concurrent writes never share staging
         self.staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:12]}")
 
@@ -126,8 +161,13 @@ class VdbWriter(DataSourceWriter):
         if not rows:
             return _Staged(file=None)
         os.makedirs(self.staging, exist_ok=True)
-        pid = TaskContext.get().partitionId()
-        f = os.path.join(self.staging, f"part-{pid:05d}.parquet")
+        ctx = TaskContext.get()
+        # attempt id in the name: a speculative/retried attempt must never
+        # clobber the winner's staged file (ADVICE r2)
+        f = os.path.join(
+            self.staging,
+            f"part-{ctx.partitionId():05d}-a{ctx.taskAttemptId()}.parquet",
+        )
         # write with the DataFrame's declared schema — from_pylist would
         # re-infer (e.g. float32 arrays widen to double) and break the
         # read-back schema contract
@@ -138,19 +178,18 @@ class VdbWriter(DataSourceWriter):
 
     def commit(self, messages: Sequence[_Staged]) -> None:
         files = [m.file for m in messages if m and m.file]
-        os.makedirs(self.path, exist_ok=True)
-        vs = _versions(self.path)
-        v = (vs[-1] + 1) if vs else 1
-        vdir = os.path.join(self.path, f"v={v}")
-        os.makedirs(vdir)
+        staged = stage_path(self.path)
+        os.makedirs(staged)
+        i = 0 if self.overwrite else _carry_forward(self.path, staged, 0)
         for f in files:
-            shutil.move(f, os.path.join(vdir, os.path.basename(f)))
-        import tempfile
-
-        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._latest_")
-        with os.fdopen(fd, "w") as fh:
-            fh.write(str(v))
-        os.replace(tmp, os.path.join(self.path, "_LATEST"))
+            os.replace(
+                f,
+                os.path.join(
+                    staged, f"part-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
+                ),
+            )
+            i += 1
+        promote_staged(self.path, staged)
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages: Sequence[_Staged]) -> None:
@@ -159,22 +198,38 @@ class VdbWriter(DataSourceWriter):
 
 class VdbStreamWriter(DataSourceStreamWriter):
     """Streaming sink: every micro-batch commits as ONE new immutable
-    version (same stage-then-promote protocol as the batch writer), so a
-    streaming ingest builds the exact version chain a sequence of batch
-    writes would — readers always see whole batches, never partial ones.
+    version (same stage-then-promote protocol as the batch writer).  In
+    append output mode each version carries the prior version forward
+    (hardlinked), so the pointer version is always the full table — the
+    chain a sequence of batch `mode("append")` writes would build.  In
+    complete mode (overwrite) each version is that batch's snapshot.
 
-    Exactly-once across restarts: the engine may replay a micro-batch
-    after a crash between sink-commit and checkpoint-advance; commit()
-    records the batchId in a `_batch=<id>` marker next to the version and
-    silently skips a batchId it has already promoted, so a replayed batch
-    cannot double-land."""
+    Exactly-once across restarts (ADVICE r2): the batchId is recorded
+    INSIDE the staged directory before the atomic rename, so promotion
+    itself is idempotent-by-batch-identity — commit() first scans for an
+    already-promoted version carrying this batchId and only then builds a
+    new one; the `_LATEST` flip happens last and is repaired on replay.
+    There is no ordering window in which a replayed batch can double-land:
+    either the rename happened (batch found, skipped) or it didn't
+    (staging is orphaned, batch lands fresh)."""
 
-    def __init__(self, options: dict, schema) -> None:
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
         self.path = options["path"]
         self.spark_schema = schema
+        self.overwrite = overwrite
 
     def _staging(self, batch_id: int) -> str:
         return os.path.join(self.path, f"_staging_batch_{batch_id}")
+
+    def _promoted_version(self, batch_id: int) -> int | None:
+        for v in reversed(_versions(self.path)):
+            bf = os.path.join(self.path, f"v={v}", "_batch")
+            try:
+                if os.path.isfile(bf) and open(bf).read().strip() == str(batch_id):
+                    return v
+            except OSError:
+                pass
+        return None
 
     def write(self, it: Iterator) -> _Staged:
         import pyarrow as pa
@@ -190,33 +245,38 @@ class VdbStreamWriter(DataSourceStreamWriter):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         os.makedirs(staging, exist_ok=True)
-        f = os.path.join(staging, f"part-{ctx.partitionId():05d}.parquet")
+        f = os.path.join(
+            staging, f"part-{ctx.partitionId():05d}-a{ctx.taskAttemptId()}.parquet"
+        )
         pq.write_table(
             pa.Table.from_pylist(rows, schema=to_arrow_schema(self.spark_schema)), f
         )
         return _Staged(file=f)
 
     def commit(self, messages: Sequence[_Staged], batchId: int) -> None:
-        import tempfile
-
         os.makedirs(self.path, exist_ok=True)
-        marker = os.path.join(self.path, f"_batch={batchId}")
-        if os.path.exists(marker):  # replayed micro-batch: already landed
-            shutil.rmtree(self._staging(batchId), ignore_errors=True)
-            return
-        files = [m.file for m in messages if m and m.file]
-        vs = _versions(self.path)
-        v = (vs[-1] + 1) if vs else 1
-        vdir = os.path.join(self.path, f"v={v}")
-        os.makedirs(vdir)
-        for f in files:
-            shutil.move(f, os.path.join(vdir, os.path.basename(f)))
-        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._latest_")
-        with os.fdopen(fd, "w") as fh:
-            fh.write(str(v))
-        os.replace(tmp, os.path.join(self.path, "_LATEST"))
-        with open(marker, "w") as fh:
-            fh.write(str(v))
+        v = self._promoted_version(batchId)
+        if v is None:
+            files = [m.file for m in messages if m and m.file]
+            staged = stage_path(self.path)
+            os.makedirs(staged)
+            i = 0 if self.overwrite else _carry_forward(self.path, staged, 0)
+            for f in files:
+                os.replace(
+                    f,
+                    os.path.join(
+                        staged, f"part-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
+                    ),
+                )
+                i += 1
+            with open(os.path.join(staged, "_batch"), "w") as fh:
+                fh.write(str(batchId))
+            v = promote_staged(self.path, staged, flip=False)
+        # pointer flip LAST; a replay after a crash between rename and
+        # flip finds the version above and repairs the pointer here
+        cur = latest_version(self.path)
+        if cur is None or cur < v:
+            _flip_pointer(self.path, v)
         shutil.rmtree(self._staging(batchId), ignore_errors=True)
 
     def abort(self, messages: Sequence[_Staged], batchId: int) -> None:
@@ -250,7 +310,7 @@ class VdbDataSource(DataSource):
         return VdbWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> VdbStreamWriter:
-        return VdbStreamWriter(self.options, schema)
+        return VdbStreamWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

@@ -20,10 +20,12 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_LATEST"
+_STAGE_PREFIX = "_stage_"
 
 
 def _versions(path: str) -> list[int]:
@@ -36,20 +38,55 @@ def _versions(path: str) -> list[int]:
     )
 
 
-def versioned_write(df: DataFrame, path: str) -> int:
-    """Write `df` as the next version of the collection at `path`; returns
-    the new version number.  The `_LATEST` pointer flips only after the
-    parquet write completes, so a crash mid-write leaves the previous
-    version live and the partial directory orphaned (vacuumable)."""
-    os.makedirs(path, exist_ok=True)
-    version = (_versions(path)[-1] + 1) if _versions(path) else 1
-    vdir = os.path.join(path, f"v={version}")
-    df.write.mode("overwrite").parquet(vdir)
+def _flip_pointer(path: str, version: int) -> None:
     fd, tmp = tempfile.mkstemp(dir=path, prefix="._latest_")
     with os.fdopen(fd, "w") as f:
         f.write(str(version))
     os.replace(tmp, os.path.join(path, _POINTER))  # atomic pointer flip
-    return version
+
+
+def stage_path(path: str) -> str:
+    """A fresh staging directory path under `path` (not created).  Build
+    the full version payload here, then `promote_staged` it — version
+    directories appear atomically, so `_versions`/`history`/`read_version`
+    can never observe a half-written version (ADVICE r2)."""
+    os.makedirs(path, exist_ok=True)
+    return os.path.join(path, f"{_STAGE_PREFIX}{uuid.uuid4().hex[:12]}")
+
+
+def promote_staged(path: str, staged: str, flip: bool = True) -> int:
+    """Atomically rename a fully-built staged directory to the next
+    `v=N`.  A crash before the rename leaves only an orphaned `_stage_*`
+    directory (vacuumable); a crash after it leaves a complete version
+    that merely isn't pointed at yet — never a torn one.  Returns N."""
+    while True:
+        vs = _versions(path)
+        v = (vs[-1] + 1) if vs else 1
+        vdir = os.path.join(path, f"v={v}")
+        if os.path.exists(vdir):  # lost a race to a concurrent writer
+            continue
+        try:
+            os.rename(staged, vdir)
+            break
+        except OSError:
+            if os.path.exists(vdir):
+                continue
+            raise
+    if flip:
+        _flip_pointer(path, v)
+    return v
+
+
+def versioned_write(df: DataFrame, path: str) -> int:
+    """Write `df` as the next version of the collection at `path`; returns
+    the new version number.  The parquet write lands in a staging dir that
+    is atomically renamed to `v=N`; the `_LATEST` pointer flips only after
+    that, so a crash mid-write leaves the previous version live and at
+    worst an orphaned staging directory (vacuumable) — never a
+    half-visible version."""
+    staged = stage_path(path)
+    df.write.mode("overwrite").parquet(staged)
+    return promote_staged(path, staged)
 
 
 def latest_version(path: str) -> int | None:
@@ -102,9 +139,14 @@ def compact(
     return versioned_write(df.coalesce(n_files), path)
 
 
-def vacuum(path: str, keep: int = 2) -> list[int]:
+def vacuum(path: str, keep: int = 2, stage_ttl_s: float = 3600.0) -> list[int]:
     """Drop old versions (never the pointer target), keeping at least the
     newest `keep`.  Returns the removed version numbers.
+
+    Also reaps orphaned staging directories (`_stage_*` / `_staging_*`,
+    left by crashed or aborted writers) older than `stage_ttl_s` — the TTL
+    keeps an in-flight writer's staging safe while letting housekeeping
+    reclaim genuinely dead ones.
 
     MoR-aware (ADVICE r1): under the merge-on-read layout (mor.py) a
     retained delta version is only readable through the newest `base` at or
@@ -115,7 +157,21 @@ def vacuum(path: str, keep: int = 2) -> list[int]:
     layouts (no base/ subdir anywhere) keep the plain newest-`keep`
     behavior."""
     import shutil
+    import time
 
+    now = time.time()
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.startswith((_STAGE_PREFIX, "_staging_")):
+                full = os.path.join(path, d)
+                try:
+                    if (
+                        os.path.isdir(full)
+                        and now - os.path.getmtime(full) > stage_ttl_s
+                    ):
+                        shutil.rmtree(full, ignore_errors=True)
+                except OSError:
+                    pass
     vs = _versions(path)
     if len(vs) <= keep:
         return []

@@ -109,8 +109,10 @@ def test_python_datasource_partitions_and_determinism(spark):
 def test_vdb_format_write_read_round_trip(spark, tmp_path):
     """The vdb format (Python Data Source writer + reader): a write lands
     as a new pointer-flipped version readable by both the format reader
-    and versioning.read_version; a second write is a NEW version with the
-    first intact (snapshot isolation through the format registry)."""
+    and versioning.read_version; mode("append") ADDS rows (prior files
+    carried forward into the new version), mode("overwrite") snapshots
+    only the incoming rows — with the prior version intact either way
+    (snapshot isolation through the format registry)."""
     from crawling_vectordb_llm_spark import versioning as V
     from crawling_vectordb_llm_spark.sources import vdb_datasource
 
@@ -128,14 +130,25 @@ def test_vdb_format_write_read_round_trip(spark, tmp_path):
     got = {r["id"]: (r["val"], r["title"]) for r in back.collect()}
     assert got["7"] == (14, "t7")
 
-    # second write = second version; reader follows the pointer
+    # append = prior rows + new rows, landed as a second version
     spark.range(5).selectExpr(
-        "CAST(id AS STRING) AS id", "id AS val", "'x' AS title"
+        "CAST(-(id + 1) AS STRING) AS id", "id AS val", "'x' AS title"
     ).write.format("vdb").option("path", path).mode("append").save()
     assert V.latest_version(path) == 2
-    assert spark.read.format("vdb").option("path", path).load().count() == 5
+    appended = spark.read.format("vdb").option("path", path).load()
+    assert appended.count() == 105
+    ids = {r["id"] for r in appended.collect()}
+    assert {"7", "-1", "-5"} <= ids
     # versioning API reads the same layout (time travel to v1 intact)
     assert V.read_version(spark, path, 1).count() == 100
+
+    # overwrite = snapshot of only the incoming rows
+    spark.range(3).selectExpr(
+        "CAST(id AS STRING) AS id", "id AS val", "'o' AS title"
+    ).write.format("vdb").option("path", path).mode("overwrite").save()
+    assert V.latest_version(path) == 3
+    assert spark.read.format("vdb").option("path", path).load().count() == 3
+    assert V.read_version(spark, path, 2).count() == 105
 
 
 def test_vdb_format_vector_columns_survive(spark, tmp_path):
@@ -165,7 +178,7 @@ def test_vdb_format_time_travel_option(spark, tmp_path):
     for n in (100, 5):
         spark.range(n).selectExpr("CAST(id AS STRING) AS id").write.format(
             "vdb"
-        ).option("path", path).mode("append").save()
+        ).option("path", path).mode("overwrite").save()
     read = lambda **kw: (  # noqa: E731
         spark.read.format("vdb").options(path=path, **kw).load().count()
     )
@@ -236,12 +249,115 @@ def test_vdb_streaming_sink_versions_per_batch(spark, tmp_path):
     drain()  # next 10 pages land as a NEW version
     drain()  # and the last 10
     assert V.latest_version(path) > v1
-    # pointer version holds only the final batch; the union of versions is
-    # the full feed with no page duplicated or lost
-    urls = set()
-    total = 0
+    # append output mode carries prior data forward: each version is a
+    # strict prefix of the feed and the pointer version IS the full feed,
+    # with no page duplicated or lost
+    counts = [
+        V.read_version(spark, path, v).count() for v in V.list_versions(path)
+    ]
+    assert counts == sorted(counts)
+    final = spark.read.format("vdb").option("path", path).load()
+    urls = [r["url"] for r in final.collect()]
+    assert len(urls) == 30 and len(set(urls)) == 30
+
+
+def test_vdb_stream_commit_idempotent_replay(spark, tmp_path):
+    """ADVICE r2 (medium): promotion must be idempotent by BATCH IDENTITY,
+    with no ordering window.  A replayed micro-batch — including one
+    replayed after a crash that promoted the version but never flipped the
+    pointer — may not double-land; the replay must instead repair the
+    pointer."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawling_vectordb_llm_spark import versioning as V
+    from crawling_vectordb_llm_spark.sources.vdb_datasource import (
+        VdbStreamWriter,
+        _Staged,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    path = str(tmp_path / "replay")
+    schema = StructType([StructField("id", StringType())])
+
+    def staged_file(batch_id, ids):
+        staging = os.path.join(path, f"_staging_batch_{batch_id}")
+        os.makedirs(staging, exist_ok=True)
+        f = os.path.join(staging, "part-00000-a0.parquet")
+        pq.write_table(pa.table({"id": pa.array(ids, pa.string())}), f)
+        return f
+
+    w = VdbStreamWriter({"path": path}, schema, overwrite=False)
+    w.commit([_Staged(file=staged_file(0, ["a", "b"]))], 0)
+    assert V.latest_version(path) == 1
+    w.commit([_Staged(file=staged_file(1, ["c"]))], 1)
+    assert V.latest_version(path) == 2
+    assert spark.read.format("parquet").load(
+        os.path.join(path, "v=2")
+    ).count() == 3  # append mode carried v=1 forward
+
+    # plain replay of batch 1: no new version
+    w2 = VdbStreamWriter({"path": path}, schema, overwrite=False)
+    w2.commit([_Staged(file=staged_file(1, ["c"]))], 1)
+    assert V.list_versions(path) == [1, 2]
+    assert V.latest_version(path) == 2
+
+    # crash window: version promoted but pointer never flipped — rewind
+    # the pointer to v=1 and replay batch 1 again
+    with open(os.path.join(path, "_LATEST"), "w") as fh:
+        fh.write("1")
+    w3 = VdbStreamWriter({"path": path}, schema, overwrite=False)
+    w3.commit([_Staged(file=staged_file(1, ["c"]))], 1)
+    assert V.list_versions(path) == [1, 2]  # still no double-land
+    assert V.latest_version(path) == 2      # pointer repaired
+
+
+def test_vdb_streamed_table_compact_then_vacuum_time_travel(spark, tmp_path):
+    """VERDICT r2 #7: a streamed vdb table accumulates one version per
+    micro-batch (many tiny files); compact() folds the current version
+    into few files as a NEW version, vacuum() drops the aged-out ones,
+    and time travel still resolves for every retained version."""
+    from crawling_vectordb_llm_spark import versioning as V
+    from crawling_vectordb_llm_spark.sources import crawl_datasource, vdb_datasource
+
+    vdb_datasource.register(spark)
+    crawl_datasource.register_stream(spark)
+    path = str(tmp_path / "stream_compact")
+    ckpt = str(tmp_path / "ckpt")
+
+    for _ in range(3):  # 30 pages, 10 per drain -> >= 3 versions
+        q = (
+            spark.readStream.format("synthetic_crawl_stream")
+            .option("pages", "30")
+            .option("batchpages", "10")
+            .load()
+            .writeStream.format("vdb")
+            .option("path", path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    vs = V.list_versions(path)
+    assert len(vs) >= 3
+    assert V.read_version(spark, path).count() == 30
+
+    cv = V.compact(spark, path, target_rows_per_file=1000)
+    assert V.latest_version(path) == cv
+    vdir_files = [
+        f
+        for f in __import__("os").listdir(f"{path}/v={cv}")
+        if f.endswith(".parquet")
+    ]
+    assert len(vdir_files) == 1  # 30 rows << target -> single file
+    assert V.read_version(spark, path, cv).count() == 30
+
+    removed = V.vacuum(path, keep=2, stage_ttl_s=0.0)
+    assert removed  # old micro-batch versions reclaimed
     for v in V.list_versions(path):
-        rows = [r["url"] for r in V.read_version(spark, path, v).collect()]
-        urls.update(rows)
-        total += len(rows)
-    assert total == 30 and len(urls) == 30
+        assert V.read_version(spark, path, v).count() == 30  # retained resolve
+    # the streamed table still reads through the format after housekeeping
+    assert spark.read.format("vdb").option("path", path).load().count() == 30
