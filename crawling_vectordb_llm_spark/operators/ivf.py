@@ -44,25 +44,28 @@ def bounded_random_sample(
     shared trainer-sampling primitive for every codebook/centroid fit.
     `.limit()` alone takes whole first partitions, which on a sorted or
     clustered corpus trains on one region of the space and silently
-    degrades recall (ADVICE r1).  The 1.2x oversample makes the
-    post-sample limit almost surely full; seeded → deterministic per
-    layout.
+    degrades recall (ADVICE r1).  Every row has UNIFORM inclusion
+    probability: Bernoulli-sample at 1.2x the target fraction (no
+    `.limit()` chaser — that would re-bias against the tail of the
+    partition order, ADVICE r2), then trim to sample_limit on the driver
+    after a seeded shuffle.  Seeded → deterministic per layout.
 
     Cost note: corpora at or under sample_limit (every training set is,
     by definition of the limit) pay exactly ONE collect — the limit+1
     probe detects that everything fit and no count/sample jobs run.  Only
     a genuinely larger corpus pays the count + sampled second pass."""
+    import random
+
     rows = df.select(*cols).limit(sample_limit + 1).collect()
     if len(rows) <= sample_limit:
         return rows
     n = df.count()
     fraction = min(1.0, 1.2 * sample_limit / n)
-    return (
-        df.select(*cols)
-        .sample(fraction=fraction, seed=seed)
-        .limit(sample_limit)
-        .collect()
-    )
+    sampled = df.select(*cols).sample(fraction=fraction, seed=seed).collect()
+    if len(sampled) <= sample_limit:
+        return sampled
+    random.Random(seed).shuffle(sampled)
+    return sampled[:sample_limit]
 
 
 def kmeans_centroids(
@@ -221,3 +224,164 @@ def ivf_topk(
     centroids = kmeans_centroids(corpus, n_centroids, vec_col)
     assigned = assign_centroids(corpus, centroids, id_col, vec_col)
     return ivf_search(queries, assigned, centroids, k, n_probe, **cols)
+
+
+def ivf_pruned_threshold_join(
+    corpus: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_cell_rows: int = 65_536,
+    gemm_chunk_rows: int = 2_048,
+    score_col: str = "score",
+) -> DataFrame:
+    """EXACT cosine-threshold self-join through IVF-cell candidate pruning
+    — the composed "candidates → verify" pipeline (VERDICT r2 #2) with
+    recall 1.0 BY CONSTRUCTION, not by tuning luck.
+
+    Stage 1 (candidates): k-means cells over the corpus; every vector
+    carries its cell id and its angle to the cell centroid.  By the
+    angular triangle inequality, a pair (a in cell i, b in cell j) can
+    have angle(a,b) <= theta_tau only if
+    angle(c_i, c_j) - r_i - r_j <= theta_tau, where r_i is cell i's max
+    member angle — so any cell PAIR violating that bound provably holds
+    no qualifying vector pair and is pruned without scoring.  The bound
+    is evaluated driver-side on the k x k centroid matrix (tiny).
+
+    Stage 2 (verify): the surviving cell pairs run the same chunked
+    float64 GEMM as threshold_similarity_join(strategy="blocked") — one
+    cogrouped task per admissible pair, diagonal pairs triangular, cross
+    pairs oriented (a_id < b_id), nothing collected to the driver.
+    Output is bit-identical to the exact join: same normalize, same
+    rounding, each unordered pair emitted exactly once.
+
+    Skew guard: cells larger than max_cell_rows are hash-split into
+    sub-blocks (inheriting the cell's centroid and radius), so per-task
+    memory stays bounded by max_cell_rows x gemm_chunk_rows regardless of
+    how lopsided the clustering is — the semdedup.py max_cluster idea.
+
+    Scale shape: prune efficiency is data-dependent — clustered corpora
+    (the 100 TB dedup regime) skip most of the grid; an adversarially
+    uniform corpus degrades to the full exact grid, which is the blocked
+    join's already-bounded cost.  Replication per row = number of
+    admissible pairs its cell participates in (<= K+1), versus the
+    unconditional P+1 of the unpruned grid."""
+    from crawling_vectordb_llm_spark.operators.knn import _chunked_tau_gemm
+
+    spark = corpus.sparkSession
+    n = corpus.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], f"a_id long, b_id long, {score_col} double"
+        )
+    k = max(1, min(n_cells, n))
+    centroids = kmeans_centroids(corpus, k, vec_col, seed=seed)
+    k = centroids.shape[0]
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def _assign_theta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            sims = mat @ cents.T
+            cid = np.argmax(sims, axis=1)
+            theta = np.arccos(np.clip(sims[np.arange(len(cid)), cid], -1.0, 1.0))
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col],
+                    "__v": pdf[vec_col],
+                    "__cell": cid.astype(np.int32),
+                    "__theta": theta,
+                }
+            )
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        _assign_theta,
+        schema=f"__id {id_t}, __v {vec_t}, __cell int, __theta double",
+    )
+    # cache: the radius/size pass and the replicated verify pass both scan it
+    assigned = assigned.localCheckpoint(eager=False)
+
+    stats = {
+        int(r["__cell"]): (float(r["r"]), int(r["n"]))
+        for r in assigned.groupBy("__cell")
+        .agg(F.max("__theta").alias("r"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # oversized cells hash-split into sub-blocks (skew guard)
+    n_subs = {cell: max(1, -(-stats[cell][1] // max_cell_rows)) for cell in stats}
+
+    theta_tau = float(np.arccos(np.clip(tau, -1.0, 1.0)))
+    cc = np.arccos(
+        np.clip(_normalize(centroids) @ _normalize(centroids).T, -1.0, 1.0)
+    )
+    # admissible (node_a, node_b) pairs: (cell, sub, pk, role) rows
+    pair_rows: list[tuple[int, int, int, str]] = []
+    diag_pks: set[int] = set()
+    pk = 0
+    cells = sorted(stats)
+    for ci in cells:
+        ri = stats[ci][0]
+        for cj in cells:
+            if cj < ci:
+                continue
+            rj = stats[cj][0]
+            if cc[ci, cj] - ri - rj > theta_tau + 1e-9:
+                continue  # provably no qualifying pair across these cells
+            for si in range(n_subs[ci]):
+                sj_start = si if ci == cj else 0
+                for sj in range(sj_start, n_subs[cj]):
+                    diagonal = ci == cj and si == sj
+                    pair_rows.append((ci, si, pk, "a"))
+                    if diagonal:
+                        diag_pks.add(pk)
+                    else:
+                        pair_rows.append((cj, sj, pk, "b"))
+                    pk += 1
+    pairs_df = spark.createDataFrame(
+        pair_rows, "__cell int, __sub int, __pk int, __role string"
+    )
+
+    # per-cell sub id: hash into the cell's own sub count (varies per cell)
+    sub_counts = spark.createDataFrame(
+        [(c, s) for c, s in n_subs.items()], "__cell int, __nsub int"
+    )
+    with_sub = (
+        assigned.join(F.broadcast(sub_counts), "__cell")
+        .withColumn(
+            "__sub",
+            F.pmod(F.xxhash64(F.col("__id")), F.col("__nsub")).cast("int"),
+        )
+        .drop("__nsub")
+    )
+    replicated = with_sub.join(F.broadcast(pairs_df), ["__cell", "__sub"]).select(
+        "__id", "__v", "__pk", "__role"
+    )
+
+    bc_diag = spark.sparkContext.broadcast(diag_pks)
+
+    def _gemm_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        diagonal = int(key[0]) in bc_diag.value
+        a = pdf[pdf["__role"] == "a"]
+        b = a if diagonal else pdf[pdf["__role"] == "b"]
+        out = _chunked_tau_gemm(
+            a["__id"].to_numpy(),
+            np.array(list(a["__v"]), dtype=np.float64),
+            b["__id"].to_numpy(),
+            np.array(list(b["__v"]), dtype=np.float64),
+            tau,
+            gemm_chunk_rows,
+            triangular=diagonal,
+            orient=True,
+        )
+        return pd.DataFrame({"a_id": out[0], "b_id": out[1], score_col: out[2]})
+
+    return replicated.groupBy("__pk").applyInPandas(
+        _gemm_pair, schema=f"a_id {id_t}, b_id {id_t}, {score_col} double"
+    )

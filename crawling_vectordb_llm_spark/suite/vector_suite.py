@@ -807,9 +807,13 @@ def q_rocchio_expansion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.zip_with(
             F.col("qv"),
+            # left-associative (v1+v2)+v3, matching the oracle's
+            # v1[i]+v2[i]+v3[i] exactly — float + is non-associative, so
+            # v1+(v2+v3) could drift 1 ulp and flip a 6-dp rounding edge
+            # (ADVICE r2)
             F.zip_with(
-                F.col("v1"),
-                F.zip_with(F.col("v2"), F.col("v3"), lambda a, b: a + b),
+                F.zip_with(F.col("v1"), F.col("v2"), lambda a, b: a + b),
+                F.col("v3"),
                 lambda a, b: a + b,
             ),
             lambda qx, sx: qx * 0.7 + (sx / 3.0) * 0.3,

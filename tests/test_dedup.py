@@ -291,3 +291,89 @@ def test_paragraph_dedup_matches_python_reference_on_random_corpus(spark):
         for r in D.paragraph_dedup(df, W).collect()
     }
     assert got == keep
+
+
+def test_ivf_pruned_threshold_join_exact_equality(spark):
+    """The pruned join must be BIT-IDENTICAL to the exact blocked join —
+    recall 1.0 by construction (triangle-inequality prune), same rounding,
+    no duplicate emissions — including when the skew guard hash-splits
+    cells into sub-blocks."""
+    from crawling_vectordb_llm_spark.operators.ivf import (
+        ivf_pruned_threshold_join,
+    )
+    from crawling_vectordb_llm_spark.operators.knn import (
+        threshold_similarity_join,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = {
+        (r["a_id"], r["b_id"], r["score"])
+        for r in threshold_similarity_join(emb, None, tau=0.35).collect()
+    }
+    for kwargs in ({"n_cells": 8}, {"n_cells": 3, "max_cell_rows": 40}):
+        got = [
+            (r["a_id"], r["b_id"], r["score"])
+            for r in ivf_pruned_threshold_join(emb, tau=0.35, **kwargs).collect()
+        ]
+        assert len(got) == len(set(got))  # each unordered pair exactly once
+        assert set(got) == exact, kwargs
+
+
+def test_ivf_pruned_threshold_join_prunes_clustered_data(spark):
+    """On a corpus with genuinely separated clusters (the 100 TB dedup
+    regime the pruning targets), far-apart cell pairs must be PROVABLY
+    skipped — and the result still exactly matches the unpruned join."""
+    import numpy as np
+
+    from crawling_vectordb_llm_spark.operators import ivf as I
+    from crawling_vectordb_llm_spark.operators.knn import (
+        threshold_similarity_join,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, per = 16, 120
+    anchors = np.eye(dim)[:4]  # 4 orthogonal cluster directions
+    rows = []
+    i = 0
+    for a in anchors:
+        pts = a + 0.05 * rng.standard_normal((per, dim))
+        for p in pts:
+            rows.append((i, [float(x) for x in p]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = I.ivf_pruned_threshold_join(df, tau=0.9, n_cells=8, seed=1)
+    pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in threshold_similarity_join(df, None, tau=0.9).collect()
+    }
+    assert pairs == exact
+    # orthogonal anchors, tight clusters, tau=0.9 (theta ~ 0.45 rad):
+    # cross-cluster cell pairs are provably inadmissible, so no
+    # cross-anchor pair can even appear as a candidate; with 8 cells the
+    # admissible pair count must be far below the full 36-pair grid.
+    # Verify via the physical pair table the operator builds: re-run the
+    # driver-side prune logic on the same assignment.
+    cents = I.kmeans_centroids(df, 8, "embedding", seed=1)
+    assigned = I.assign_centroids(df, cents, "vec_id", "embedding")
+    theta = np.arccos(np.clip(I._normalize(cents) @ I._normalize(cents).T, -1, 1))
+    # member angles per cell
+    rows2 = assigned.collect()
+    member = {}
+    for r in rows2:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        c = int(r["centroid_id"])
+        ang = float(np.arccos(np.clip(v @ I._normalize(cents)[c], -1, 1)))
+        member.setdefault(c, []).append(ang)
+    radii = {c: max(a) for c, a in member.items()}
+    theta_tau = float(np.arccos(0.9))
+    admissible = sum(
+        1
+        for ci in radii
+        for cj in radii
+        if cj >= ci and theta[ci, cj] - radii[ci] - radii[cj] <= theta_tau + 1e-9
+    )
+    full = len(radii) * (len(radii) + 1) // 2
+    assert admissible < full  # pruning really happened
