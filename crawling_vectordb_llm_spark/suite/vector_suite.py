@@ -596,34 +596,127 @@ def q_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cross_encoder_rerank")
+_CROSS_ENCODER_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS s
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC)
+           AS r
+  FROM scored
+), shortlist AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(ROUND(s, 6) * 1e6 + 0.5) AS BIGINT) AS retrieval_e6
+  FROM ranked WHERE r <= 10
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+         END AS tok
+  FROM documents
+), ce AS (
+  SELECT s.query_id, s.doc_id, s.retrieval_e6,
+         CASE WHEN len(qt.tok) + len(dt.tok) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(2000000.0 * len(list_intersect(qt.tok, dt.tok))
+                              / (len(qt.tok) + len(dt.tok)) + 0.5) AS BIGINT)
+         END AS ce_e6
+  FROM shortlist s
+  JOIN toks qt ON qt.doc_id = s.query_id
+  JOIN toks dt ON dt.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, retrieval_e6, ce_e6,
+       (retrieval_e6 + ce_e6) * 500000 AS blended_e12,
+       CAST(row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY (retrieval_e6 + ce_e6) DESC, doc_id ASC) AS INT) AS ce_rank
+FROM ce
+"""
+
+
+@query("cross_encoder_rerank", oracle=_CROSS_ENCODER_ORACLE)
 def q_cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the precision tier of the retrieval stack — hash-embed
-    kNN produces a top-10 shortlist per query, then the cross-encoder
-    pandas_udf (deterministic token-overlap stand-in; real model plugs in
-    at the same seam) scores each (query, doc) PAIR and the blended score
-    re-ranks.  Pairwise cost is |queries| x k, never the corpus."""
-    from crawling_vectordb_llm_spark.plans.rerank import cross_encoder_rerank
+    """The precision tier of the retrieval stack, now oracle-gated
+    (VERDICT r2 #3): exact cosine kNN builds a top-10 shortlist per query
+    (queries = vectors 0..4, query text = the same-id document), then the
+    cross-encoder pandas_udf scores each (query, doc) PAIR with the
+    deterministic token-overlap Dice stand-in (a real model plugs into
+    the same make_cross_encoder_udf seam) and the 50/50 blend re-ranks.
+
+    All scores are emitted in FIXED-POINT (..._e6 / ..._e12 integers):
+    Dice = floor(2e6·|q∩d| / (|q|+|d|) + 0.5) is the identical IEEE
+    int→double→divide→floor sequence in Spark and DuckDB, and the blend
+    (retrieval_e6 + ce_e6)·500000 is exact integer arithmetic — half of
+    all blended values land exactly on a 6-dp rounding boundary (both
+    addends live on the 1e-6 grid), where Spark's BigDecimal ROUND and
+    DuckDB's multiply-based ROUND disagree, so double-rounding is the one
+    thing this query must not do.  Pairwise cost is |queries| × k, never
+    the corpus."""
+    from crawling_vectordb_llm_spark.plans.rerank import (
+        make_cross_encoder_udf,
+    )
 
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    embed = make_embed_udf(dim=64)
-    emb = docs.select("doc_id", "text", embed(F.col("text")).alias("vector"))
-    queries = emb.where(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"),
-        F.col("text").alias("query_text"),
-        F.col("vector").alias("query_vec"),
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
     )
-    hits = knn_join_numpy(
-        queries, emb, k=10, corpus_id="doc_id", corpus_vec="vector"
+    hits = knn_join_sql(queries, emb, k=10, corpus_id="vec_id").select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("retrieval_e6"),
     )
-    shortlist = (
-        hits.join(
-            docs.select("doc_id", F.col("text").alias("doc_text")), "doc_id"
-        ).join(queries.select("query_id", "query_text"), "query_id")
+    texts = docs.select("doc_id", "text")
+    shortlist = hits.join(
+        F.broadcast(
+            texts.withColumnRenamed("doc_id", "query_id").withColumnRenamed(
+                "text", "query_text"
+            )
+        ),
+        "query_id",
+    ).join(texts.withColumnRenamed("text", "doc_text"), "doc_id")
+
+    def dice_e6(qs: list, ds: list) -> list:
+        import math
+
+        out = []
+        for q, d in zip(qs, ds):
+            a, b = set(q.split()), set(d.split())
+            denom = len(a) + len(b)
+            out.append(
+                float(math.floor(2000000.0 * len(a & b) / denom + 0.5))
+                if denom
+                else 0.0
+            )
+        return out
+
+    ce = make_cross_encoder_udf(dice_e6)
+    scored = shortlist.withColumn(
+        "ce_e6", ce(F.col("query_text"), F.col("doc_text")).cast("bigint")
     )
-    out = cross_encoder_rerank(shortlist)
-    return out.select(
-        "query_id", "doc_id", "score", "ce_score", "blended", "ce_rank"
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("retrieval_e6") + F.col("ce_e6")), F.asc("doc_id")
+    )
+    return scored.select(
+        "query_id",
+        "doc_id",
+        "retrieval_e6",
+        "ce_e6",
+        ((F.col("retrieval_e6") + F.col("ce_e6")) * F.lit(500000)).alias(
+            "blended_e12"
+        ),
+        F.row_number().over(w).cast("int").alias("ce_rank"),
     )
 
 

@@ -169,8 +169,9 @@ def test_mmr_rerank_properties(spark):
 
 
 def test_cross_encoder_rerank_self_retrieval_and_determinism(spark):
-    """The blended rank-1 for query-from-doc-i must be doc i (retrieval
-    score 1.0 and perfect token overlap), and reruns are identical."""
+    """The blended rank-1 for query i must be doc i (retrieval cosine 1.0
+    with its own vector and perfect token overlap with its own text), and
+    reruns are identical."""
     from crawling_vectordb_llm_spark.suite import QUERIES
 
     def run():
@@ -183,4 +184,6 @@ def test_cross_encoder_rerank_self_retrieval_and_determinism(spark):
     top = {r["query_id"]: r for r in a if r["ce_rank"] == 1}
     for q, r in top.items():
         assert r["doc_id"] == q
-        assert r["ce_score"] == 1.0
+        assert r["ce_e6"] == 1_000_000  # Dice(set, itself) = 1 exactly
+        assert r["retrieval_e6"] == 1_000_000
+        assert r["blended_e12"] == 1_000_000_000_000
