@@ -757,23 +757,102 @@ def q_ngram_lm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_token_count")
-def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (BPE merge selection is not SQL-expressible; properties
-    pinned in tests/test_bpe.py — determinism, reversibility, distributed
-    == local): train a BPE vocabulary on a seeded corpus sample (driver,
-    bounded — the codebook-trainer contract), then tokenize the whole
-    table with the broadcast merge ranks in an iterator pandas_udf and
-    report per-doc BPE vs whitespace token counts — the sizing signal
-    sequence packing and context budgeting consume."""
-    from crawling_vectordb_llm_spark.operators.bpe import (
-        bpe_tokenize,
-        train_bpe_on_sample,
+def _bpe_fixture_merges() -> list[tuple[str, str]]:
+    """The frozen merge table (VERDICT r2 #4): trained once with
+    operators/bpe.train_bpe (n_merges=200, which converged after 105 —
+    pair counts dropped below 2) on the sf0.001 documents corpus, then
+    checked in as a fixture.  A frozen vocabulary is the DEPLOYED shape
+    of a tokenizer — training stays covered by tests/test_bpe.py."""
+    import json
+    import os
+
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "bpe_merges_v1.json",
     )
+    with open(p) as fh:
+        return [tuple(m) for m in json.load(fh)]
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB oracle for the BPE APPLY stage: each word becomes a
+    delimiter-wrapped symbol string (\\x1e sym \\x1f per symbol — the
+    wrappers make replace() boundary-exact), and a recursive CTE applies
+    the fixture merges IN RANK ORDER, one literal replace per step.
+    Rank-order exhaustive application is equivalent to the GPT-2
+    lowest-rank-first loop (a merge's components always predate it, so a
+    new adjacency can only enable LATER merges) — the equivalence is
+    pinned per-word in tests/test_bpe.py.  Token count = surviving
+    wrapper count."""
+    merges = _bpe_fixture_merges()
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",\n    ".join(
+        f"({i + 1}, "
+        f"chr(30)||{lit(a)}||chr(31)||chr(30)||{lit(b)}||chr(31), "
+        f"chr(30)||{lit(a + b)}||chr(31))"
+        for i, (a, b) in enumerate(merges)
+    )
+    return f"""
+WITH RECURSIVE merges(rank, pat, rep) AS (
+  VALUES
+    {values}
+), words AS (
+  SELECT doc_id, unnest(ws) AS word
+  FROM (
+    SELECT doc_id,
+           CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') = ''
+                THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(
+                       regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                       '\\s+')
+           END AS ws
+    FROM documents
+  ) d
+), wrapped AS (
+  SELECT doc_id,
+         list_aggregate(
+           list_transform(string_split(word, ''), c -> chr(30)||c||chr(31)),
+           'string_agg', '')
+         || chr(30)||'</w>'||chr(31) AS s
+  FROM words
+), rec(iter, doc_id, s) AS (
+  SELECT 0, doc_id, s FROM wrapped
+  UNION ALL
+  SELECT rec.iter + 1, rec.doc_id, replace(rec.s, m.pat, m.rep)
+  FROM rec JOIN merges m ON m.rank = rec.iter + 1
+), counted AS (
+  SELECT doc_id,
+         SUM(len(s) - len(replace(s, chr(30), ''))) AS n_bpe
+  FROM rec WHERE iter = (SELECT COUNT(*) FROM merges)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_words
+FROM documents d LEFT JOIN counted c ON c.doc_id = d.doc_id
+"""
+
+
+@query("bpe_token_count", oracle=_bpe_oracle_sql())
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization, now oracle-gated on the APPLY stage (VERDICT r2
+    #4): the checked-in fixture merge table (see _bpe_fixture_merges; the
+    deployed-tokenizer shape) is broadcast and applied corpus-wide in the
+    iterator pandas_udf — ranks and the word memo built once per executor
+    — and per-doc BPE vs whitespace token counts come out.  The oracle
+    replays the greedy merges in DuckDB via a recursive CTE (rank-order
+    replace on wrapped symbol strings), so the distributed apply is
+    value-checked, not just property-checked.  Training (driver-side,
+    bounded sample — the codebook-trainer contract) remains covered by
+    tests/test_bpe.py determinism/reversibility/distributed==local."""
+    from crawling_vectordb_llm_spark.operators.bpe import bpe_tokenize
 
     d = _docs(spark, sf_dir)
-    merges = train_bpe_on_sample(d, n_merges=200, sample_limit=2_000)
-    toks = bpe_tokenize(d, merges)
+    toks = bpe_tokenize(d, _bpe_fixture_merges())
     return toks.select(
         "doc_id",
         F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),

@@ -66,3 +66,51 @@ def test_distributed_apply_matches_local(spark):
     some = local_rows[0]
     rebuilt = "".join(got[some["doc_id"]]).replace(EOW, " ").strip()
     assert rebuilt == " ".join((some["text"] or "").lower().split())
+
+
+def test_rank_order_apply_equals_greedy_encode():
+    """The DuckDB oracle for bpe_token_count applies the fixture merges
+    in RANK ORDER (one exhaustive left-to-right pass per merge); the
+    engine's _encode_word runs the GPT-2 lowest-rank-first loop.  These
+    are equivalent — a merge's component symbols always predate it, so a
+    newly created adjacency can only enable later-rank merges — and this
+    test pins that equivalence on every corpus word plus random fuzz, so
+    the oracle can't silently diverge from the udf."""
+    import random
+
+    import duckdb
+
+    from crawling_vectordb_llm_spark.operators.bpe import EOW, _encode_word
+    from crawling_vectordb_llm_spark.suite.training_suite import (
+        _bpe_fixture_merges,
+    )
+
+    merges = _bpe_fixture_merges()
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def rank_order_apply(word):
+        sym = list(word) + [EOW]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    words = set()
+    for (t,) in duckdb.connect().execute(
+        "select text from read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall():
+        words.update((t or "").lower().split())
+    rng = random.Random(0)
+    for _ in range(2000):
+        words.add(
+            "".join(rng.choice("abcdefghij") for _ in range(rng.randint(1, 12)))
+        )
+    for w in words:
+        assert rank_order_apply(w) == _encode_word(w, ranks), w
