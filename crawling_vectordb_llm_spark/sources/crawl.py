@@ -81,7 +81,9 @@ def _parse_simple_selector(selector: str) -> tuple[str | None, str | None, str |
             f"unsupported selector {selector!r}: without bs4 installed only "
             "simple selectors (tag, .class, #id, tag.class, tag#id) work"
         )
-    return m.group("tag"), m.group("cls"), m.group("id")
+    tag = m.group("tag")
+    # CSS tag names are case-insensitive and HTMLParser lowercases tags
+    return (tag.lower() if tag else None), m.group("cls"), m.group("id")
 
 
 def select_text(html: str, selector: str) -> str | None:
@@ -140,6 +142,30 @@ def select_text(html: str, selector: str) -> str | None:
     return "".join(p.out) if (p.done or p.capturing) else None
 
 
+def make_selector_fn(selector: str):
+    """Build the per-row text-selection callable: bs4 (full CSS grammar)
+    when importable, else the stdlib `select_text` engine — in which case
+    the selector is validated HERE, so combinator/attribute selectors
+    fail fast at plan time with the bs4 guidance instead of per-row in a
+    worker.  Returns (fn, engine_name) — engine_name is asserted in
+    tests so both paths stay explicitly covered."""
+    try:
+        from bs4 import BeautifulSoup  # noqa: PLC0415
+
+        def sel(html: str) -> str | None:
+            nodes = BeautifulSoup(html or "", "html.parser").select(selector)
+            return nodes[0].get_text() if nodes else None
+
+        return sel, "bs4"
+    except ImportError:
+        _parse_simple_selector(selector)
+
+        def sel(html: str) -> str | None:
+            return select_text(html, selector)
+
+        return sel, "stdlib"
+
+
 def extract_content(
     pages: DataFrame, html_col: str = "html", selector: str | None = None
 ) -> DataFrame:
@@ -152,26 +178,19 @@ def extract_content(
 
     selector given: general CSS selection in a mapInPandas stage — bs4
     (full CSS grammar) when importable, else a stdlib-HTMLParser engine for
-    simple selectors that is nested-markup-correct (`select_text`)."""
+    simple selectors that is nested-markup-correct (`select_text`).
+    Without bs4, unsupported selectors are rejected EAGERLY here (plan
+    time, driver-side) rather than per-row inside a worker."""
     if selector is None:
         content = F.regexp_extract(
             F.col(html_col), r'<div class="content">(.*?)</div>', 1
         )
         return pages.withColumn("text", F.regexp_replace(content, r"<[^>]+>", " "))
 
+    make_selector_fn(selector)  # eager validation (raises on reject path)
+
     def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from bs4 import BeautifulSoup  # noqa: PLC0415
-
-            def sel(html: str) -> str | None:
-                nodes = BeautifulSoup(html or "", "html.parser").select(selector)
-                return nodes[0].get_text() if nodes else None
-
-        except ImportError:
-
-            def sel(html: str) -> str | None:
-                return select_text(html, selector)
-
+        sel, _engine = make_selector_fn(selector)
         for pdf in it:
             pdf = pdf.copy()
             pdf["text"] = [sel(h) for h in pdf[html_col]]

@@ -337,3 +337,110 @@ def test_sentence_transformer_adapter_seam():
         return
     mat = enc(["hello world"], MODEL_DIMS["text2vec-large-chinese"])  # pragma: no cover
     assert mat.shape == (1, 1024)
+
+
+def test_selector_reject_path_is_eager_and_explicit():
+    """VERDICT r2 #6 (reject path): without bs4, every selector shape the
+    stdlib engine cannot honor must raise ValueError with the bs4
+    guidance — at PLAN time (extract_content call), not per-row inside a
+    worker."""
+    for bad in (
+        "div > p",          # child combinator
+        "div p",            # descendant combinator
+        "div, span",        # selector list
+        "[data-x=1]",       # attribute selector
+        "div[data-x]",      # attribute presence
+        "div.a.b",          # multiple classes
+        ".a#b",             # class+id compound
+        "p:first-child",    # pseudo-class
+        "*",                # universal
+        "",                 # empty
+    ):
+        with pytest.raises(ValueError, match="unsupported selector"):
+            crawl._parse_simple_selector(bad)
+
+    # and the plan-time surface: extract_content raises immediately, no
+    # Spark job needed (pages df never evaluated)
+    import pandas as pd
+
+    from crawling_vectordb_llm_spark.session import get_spark
+
+    spark = get_spark("selector_reject", cpus=2)
+    pages = spark.createDataFrame(
+        pd.DataFrame({"url": ["u"], "html": ["<p>x</p>"]})
+    )
+    with pytest.raises(ValueError, match="unsupported selector"):
+        crawl.extract_content(pages, selector="div > p")
+
+
+def test_selector_bs4_path_via_stub(monkeypatch):
+    """VERDICT r2 #6 (bs4 path): bs4 is absent in this container, so the
+    full-CSS branch of make_selector_fn is exercised with a stub module
+    implementing the two calls the seam uses (select + get_text) — the
+    branch selection, call order, and the selector pass-through are real
+    even though the parser is faked."""
+    import sys
+    import types
+
+    calls = {}
+
+    class _Node:
+        def __init__(self, text):
+            self._t = text
+
+        def get_text(self):
+            return self._t
+
+    class _Soup:
+        def __init__(self, html, parser):
+            calls["html"] = html
+            calls["parser"] = parser
+
+        def select(self, selector):
+            calls["selector"] = selector
+            return [_Node("FROM-BS4")] if selector != ".miss" else []
+
+    stub = types.ModuleType("bs4")
+    stub.BeautifulSoup = _Soup
+    monkeypatch.setitem(sys.modules, "bs4", stub)
+
+    sel, engine = crawl.make_selector_fn("div > p[rel=next]")
+    assert engine == "bs4"  # combinators fine when bs4 exists
+    assert sel("<html>ignored-by-stub</html>") == "FROM-BS4"
+    assert calls["selector"] == "div > p[rel=next]"
+    assert calls["parser"] == "html.parser"
+    miss_sel, _ = crawl.make_selector_fn(".miss")
+    assert miss_sel("<p>x</p>") is None  # no match -> None, not IndexError
+
+
+def test_selector_stdlib_engine_malformed_html_recovery():
+    """VERDICT r2 #6 (hostile markup): the stdlib engine must not crash
+    or mis-capture on malformed/adversarial HTML — unclosed elements,
+    stray end tags, void elements inside the capture, nested same-class
+    elements, attribute noise, uppercase tags."""
+    st = crawl.select_text
+    # unclosed matched element: capture runs to EOF
+    assert st('<div class="x"><p>a<p>b', "div.x").replace(" ", "") == "ab"
+    # stray end tag BEFORE the match must not poison depth tracking
+    assert st('</div><div class="x">ok</div>', "div.x") == "ok"
+    # void elements inside the capture must not inflate depth
+    got = st('<div class="x">a<br><img src="s"><hr>b</div><div>z</div>', "div.x")
+    assert got == "ab"
+    # explicitly-closed void tags (XHTML style) are tolerated
+    assert st('<div class="x">a<br/>b</div>', "div.x") == "ab"
+    # nested same-tag: depth counter must find the OUTER close
+    assert (
+        st('<div class="x">a<div>inner</div>b</div>tail', "div.x") == "ainnerb"
+    )
+    # first match wins when the class repeats
+    assert st('<p class="c">one</p><p class="c">two</p>', "p.c") == "one"
+    # class attribute with extra whitespace-separated classes
+    assert st('<p class="  a   c  b ">y</p>', "p.c") == "y"
+    # uppercase tags in markup and selector (CSS tags are case-insensitive)
+    assert st('<DIV CLASS="x">up</DIV>', "DIV.x") == "up"
+    # comments and entity references inside the capture
+    assert st('<div class="x">a<!-- no -->&amp;b</div>', "div.x") == "a&b"
+    # id match requires exact id, not substring
+    assert st('<p id="kid">x</p>', "#k") is None
+    # empty / None html
+    assert st("", "div.x") is None

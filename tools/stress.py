@@ -150,5 +150,46 @@ def main() -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def tau_join_deep(copies: int = 10) -> None:
+    """VERDICT r2 #5: stress the blocked exact threshold join and the CC
+    resolution at ~sf1 (sf0.1 embeddings replicated `copies`×, ids
+    offset).  Replicas are GENUINE duplicates of every vector, so the
+    pair list explodes combinatorially (each base near-dup appears
+    copies² times plus copies-choose-2 exact-dup pairs per vector) — the
+    worst-case dedup regime — and past 500k edges CC takes the
+    distributed alternating-star fixpoint, not the driver union-find
+    fast path.  Prints wall times plus the join's shuffle model
+    ((P+1)·n replicated rows) so the measurement can be checked against
+    the prediction."""
+    from crawling_vectordb_llm_spark.operators.knn import _pick_blocks
+
+    spark = get_spark("stress_deep")
+    spark.range(1_000_000).selectExpr("sum(id)").count()  # JVM warm
+    emb = read_table(spark, SF_DIR, "embeddings")
+    V = replicate(emb, copies, ["vec_id"]).localCheckpoint()
+    n = V.count()
+    P = _pick_blocks(n, 65_536, spark.sparkContext.defaultParallelism)
+    print(f"n={n} vectors ({copies}x sf0.1), grid P={P}, "
+          f"shuffle rows=(P+1)*n={(P + 1) * n}, tasks={P * (P + 1) // 2}")
+
+    t0 = time.time()
+    pairs = threshold_similarity_join(V, None, tau=0.35).select("a_id", "b_id")
+    pairs = pairs.localCheckpoint()
+    n_pairs = pairs.count()
+    t_join = time.time() - t0
+
+    t0 = time.time()
+    n_nodes = connected_components(pairs).count()
+    t_cc = time.time() - t0
+    print(f"blocked_tau_join: {t_join:.1f}s -> {n_pairs} pairs")
+    print(f"connected_components ({n_pairs} edges, "
+          f"{'distributed fixpoint' if n_pairs > 500_000 else 'driver fast path'}): "
+          f"{t_cc:.1f}s -> {n_nodes} labeled nodes")
+
+
 if __name__ == "__main__":
-    main()
+    if "--tau-join" in sys.argv:
+        c = next((int(a) for a in sys.argv[1:] if a.isdigit()), 10)
+        tau_join_deep(c)
+    else:
+        main()
