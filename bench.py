@@ -72,6 +72,10 @@ HEADLINE = [
     "hamming_sign_ann",
     "hamming_knn_rerank",
     "ngram_lm_decontamination",
+    "ivf_pruned_near_dup",
+    "near_dup_pipeline_clusters",
+    "cross_encoder_rerank",
+    "bpe_token_count",
 ]
 
 

@@ -160,6 +160,34 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), sig.alias("signature"))
 
 
+def _pairs_from_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """(id, band, band_hash) rows → distinct candidate pairs.  Buckets
+    larger than `max_bucket` (degenerate near-identical floods) are
+    dropped to bound the within-bucket pair blowup; a production run
+    logs them.  In-bucket pair generation is array exprs (no self-join):
+    for sorted members [m0..mk], pairs = {(mi, mj) : i < j} — ONE shuffle
+    (the groupBy) instead of groupBy + join + join."""
+    members = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("__id")).alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size("ms")),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+    return (
+        members.select(F.explode(pair_structs).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -168,12 +196,9 @@ def lsh_candidate_pairs(
     max_bucket: int = 50,
 ) -> DataFrame:
     """Band the signature; docs sharing any band-hash become candidates.
-
-    Shuffle key is (band, hash(rows)) — uniformly distributed.  Buckets
-    larger than `max_bucket` (degenerate near-identical floods) are dropped
-    to bound the within-bucket pair blowup; a production run logs them."""
+    Shuffle key is (band, hash(rows)) — uniformly distributed."""
     banded = signatures.select(
-        id_col,
+        F.col(id_col).alias("__id"),
         F.posexplode(
             F.array(
                 *[
@@ -188,27 +213,155 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    members = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ms"))
-        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    return _pairs_from_banded(banded, max_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Portable (cross-engine exact) MinHash — xxhash64 has no DuckDB analog, so
+# the ladder above is only property-testable.  These variants use universal
+# hashing over the Mersenne prime 2^31-1: every step is plain int64
+# arithmetic both engines evaluate bit-identically, which upgrades the
+# WHOLE MinHash→LSH→verify pipeline from rows-only to value-oracled.
+# Hash quality: (a·x+b) mod p universal hashing is the textbook MinHash
+# construction (Broder); xxhash64 mixing stays the production default.
+# ---------------------------------------------------------------------------
+
+MERSENNE31 = 2_147_483_647
+_CHAR_B = 131        # char-rolling base for shingle -> int
+_BAND_C = 1_000_003  # band-fold base; MERSENNE31 * _BAND_C < 2^62
+
+
+def perm_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for h_i(x) = (a_i·x + b_i) mod p.  Fixed
+    literals (Knuth multiplicative constants) so the Spark exprs and the
+    generated oracle SQL embed identical numbers."""
+    out = []
+    for i in range(num_perm):
+        a = (i * 2_654_435_761 + 1) % MERSENNE31 or 1
+        b = (i * 40_503 + 7) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def portable_shingle_hashes(sh_col: F.Column) -> F.Column:
+    """array<string> shingles → array<bigint> via a char-rolling
+    polynomial mod 2^31-1.  Values stay < 2^31·131 + codepoint — exact
+    int64, ANSI-safe, and reproducible in DuckDB as
+    list_reduce(string_split(s, ''), (acc,x) -> (acc*131+ascii)%p)."""
+    P = F.lit(MERSENNE31)
+    return F.transform(
+        sh_col,
+        lambda s: F.aggregate(
+            F.split(s, ""),
+            F.lit(0).cast("bigint"),
+            lambda acc, ch: (
+                acc * F.lit(_CHAR_B)
+                + F.coalesce(F.ascii(ch), F.lit(0)).cast("bigint")
+            )
+            % P,
+        ),
     )
-    # in-bucket pair generation as array exprs (no self-join): for sorted
-    # members [m0..mk], pairs = {(mi, mj) : i < j} — ONE shuffle (the
-    # groupBy) instead of groupBy + join + join
-    pair_structs = F.flatten(
-        F.transform(
-            "ms",
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size("ms")),
-                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-            ),
-        )
+
+
+def portable_minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures built exclusively from cross-engine-exact
+    arithmetic (see module comment).  Same all-JVM codegen shape as
+    minhash_signatures — only the mixing function differs."""
+    P = F.lit(MERSENNE31)
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    hashed = sh.select(
+        F.col(id_col), portable_shingle_hashes(F.col("shingles")).alias("hashes")
     )
+    def _perm(a: int, b: int):
+        # closure factory: a default-arg lambda would change the visible
+        # arity and break transform's (elem[, idx]) signature contract
+        return lambda h: (h * F.lit(a) + F.lit(b)) % P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("hashes", _perm(a, b)))
+            for a, b in perm_coeffs(num_perm)
+        ]
+    )
+    return hashed.select(F.col(id_col), sig.alias("signature"))
+
+
+def portable_band_hashes(
+    sig_col: F.Column, bands: int, rows_per_band: int
+) -> F.Column:
+    """array of `bands` band-hashes: fold each signature slice with
+    (acc·C + v) mod p — the DuckDB oracle nests the same fold."""
+    P = F.lit(MERSENNE31)
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: (acc * F.lit(_BAND_C) + v) % P,
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_near_dup_pairs_portable(
+    docs: DataFrame,
+    tau: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """minhash_near_dup_pairs with the portable hash family end-to-end —
+    signatures, band keys, candidate buckets, and the exact-Jaccard
+    verify are all reproducible bit-for-bit by the DuckDB oracle."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    sh.persist()
+    hashed = sh.select(
+        F.col(id_col), portable_shingle_hashes(F.col("sh")).alias("hashes")
+    )
+    P = F.lit(MERSENNE31)
+    def _perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("hashes", _perm(a, b)))
+            for a, b in perm_coeffs(num_perm)
+        ]
+    )
+    sigs = hashed.select(F.col(id_col), sig.alias("signature"))
+    banded = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            portable_band_hashes(F.col("signature"), bands, rows_per_band)
+        ).alias("band", "band_hash"),
+    )
+    cands = _pairs_from_banded(banded, max_bucket)
+    a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
     return (
-        members.select(F.explode(pair_structs).alias("p"))
-        .select("p.a_id", "p.b_id")
-        .distinct()
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            ngram_jaccard(F.col("a_sh"), F.col("b_sh")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= tau)
     )
 
 

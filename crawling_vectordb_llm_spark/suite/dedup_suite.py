@@ -268,6 +268,96 @@ def q_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dup_pairs(_docs(spark, sf_dir), tau=0.2)
 
 
+def _portable_minhash_oracle(
+    num_perm: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 50,
+    tau: float = 0.2,
+) -> str:
+    """Generate the DuckDB replay of the ENTIRE portable MinHash ladder
+    (operators/dedup.py portable_* family): char-rolling shingle hashes,
+    the (a·x+b) mod p permutation minima, the banded fold keys, the
+    bucket-size flood cap, and the exact-Jaccard verify — every step
+    bit-identical int64 arithmetic, so the LSH candidate generation
+    itself (not just the verify) is value-checked."""
+    P = D.MERSENNE31
+    coeffs = D.perm_coeffs(num_perm)
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {P}))"
+        for a, b in coeffs
+    )
+
+    def band_fold(b: int) -> str:
+        expr = "CAST(0 AS BIGINT)"
+        for r in range(rows_per_band):
+            expr = f"(({expr}) * {D._BAND_C} + sig[{b * rows_per_band + r + 1}]) % {P}"
+        return expr
+
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, {band_fold(b)} AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), h AS (
+  SELECT doc_id, list_transform(shingles, s ->
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        (acc, x) -> (acc * {D._CHAR_B} + x) % {P})
+  ) AS hs
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         [{sig_exprs}] AS sig
+  FROM h
+), banded AS (
+{band_rows}
+), buckets AS (
+  SELECT band, band_hash FROM banded
+  GROUP BY band, band_hash
+  HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+), cands AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+  FROM banded x
+  JOIN buckets k ON x.band = k.band AND x.band_hash = k.band_hash
+  JOIN banded y ON y.band = x.band AND y.band_hash = x.band_hash
+                AND x.doc_id < y.doc_id
+)
+SELECT c.a_id, c.b_id,
+       ROUND(len(list_intersect(a.shingles, b.shingles))
+             / GREATEST(len(list_distinct(list_concat(a.shingles, b.shingles))), 1),
+             6) AS jaccard
+FROM cands c
+JOIN sh a ON a.doc_id = c.a_id
+JOIN sh b ON b.doc_id = c.b_id
+WHERE len(list_intersect(a.shingles, b.shingles))
+      / GREATEST(len(list_distinct(list_concat(a.shingles, b.shingles))), 1)
+      >= {tau}
+"""
+
+
+@query("minhash_lsh_near_dup_portable", oracle=_portable_minhash_oracle())
+def q_minhash_lsh_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash→LSH→verify ladder with the PORTABLE hash family
+    (operators/dedup.py portable_*): universal hashing over the Mersenne
+    prime 2^31-1 instead of xxhash64, making every stage — including the
+    LSH bucketing itself — reproducible bit-for-bit in the DuckDB oracle.
+    Same plan shape and shuffle structure as minhash_lsh_near_dup (which
+    stays the production default for its stronger mixing); this entry
+    value-gates the ladder's LOGIC, which the xxhash64 variant can only
+    property-test."""
+    return D.minhash_near_dup_pairs_portable(_docs(spark, sf_dir), tau=0.2)
+
+
 @query("simhash_near_dup")
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash64 + banded hamming-ball candidates (<= 3 bits)."""

@@ -48,6 +48,25 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert found_mutated >= 8
 
 
+def test_portable_minhash_finds_planted_near_dups(spark):
+    """The portable (cross-engine-exact) hash family must deliver the
+    same planted-duplicate recall contract as the xxhash64 ladder —
+    universal (a*x+b) mod p hashing is the textbook MinHash construction,
+    so swapping the mixer must not cost recall."""
+    docs = _docs_with_planted_dups(spark)
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in D.minhash_near_dup_pairs_portable(docs, tau=0.5).collect()
+    }
+    for i in range(10):
+        assert (i, i + 1000) in pairs, f"exact copy pair ({i},{i+1000}) missed"
+    found_mutated = sum(1 for i in range(10) if (i, i + 2000) in pairs)
+    assert found_mutated >= 8
+    # verify stage exactness holds identically
+    for r in D.minhash_near_dup_pairs_portable(docs, tau=0.5).collect():
+        assert r["jaccard"] >= 0.5
+
+
 def test_minhash_verify_stage_is_exact(spark):
     docs = _docs_with_planted_dups(spark)
     rows = D.minhash_near_dup_pairs(docs, tau=0.5).collect()

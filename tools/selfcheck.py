@@ -6,6 +6,11 @@ query in DuckDB, then compares row count, column names, and values
 rounding floats to 6 dp on both sides).
 
 Usage: python tools/selfcheck.py [sf_dir] [query_name ...]
+       python tools/selfcheck.py --json OUT.json [sf_dir] [query_name ...]
+
+--json additionally writes the full per-query result map in the
+driver's CORRECTNESS_r{N}.json shape, so a complete-registry artifact
+can be checked in alongside the driver's 50-query sample (ADVICE r2).
 """
 
 from __future__ import annotations
@@ -45,8 +50,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
@@ -55,6 +65,16 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures: list[str] = []
+    report: dict[str, dict] = {}
+
+    def record(name, **kw):
+        row = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        row.update(kw)
+        report[name] = row
+
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -64,31 +84,41 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
+            record(name, err=f"spark: {e}")
             continue
         took = time.time() - t0
         if name not in ORACLES:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {took:.1f}s)")
             if len(sdf) == 0:
                 print(f"WARN {name}: 0 rows")
+            record(name, spark_rows=len(sdf), err="no_oracle")
             continue
         try:
             ddf = con.sql(ORACLES[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
+            record(name, spark_rows=len(sdf), err=f"duckdb: {e}")
             continue
         ns, nd = normalize(sdf), normalize(ddf)
-        if len(sdf) != len(ddf):
+        rows_match = len(sdf) == len(ddf)
+        schema_match = list(ns.columns) == list(nd.columns)
+        values_match = rows_match and schema_match and ns.equals(nd)
+        record(
+            name, rows_match=rows_match, schema_match=schema_match,
+            hash_match=values_match, spark_rows=len(sdf), oracle_rows=len(ddf),
+        )
+        if not rows_match:
             failures.append(name)
             print(f"FAIL {name}: rows spark={len(sdf)} duckdb={len(ddf)}")
             continue
-        if list(ns.columns) != list(nd.columns):
+        if not schema_match:
             failures.append(name)
             print(
                 f"FAIL {name}: cols spark={list(ns.columns)} duckdb={list(nd.columns)}"
             )
             continue
-        if not ns.equals(nd):
+        if not values_match:
             failures.append(name)
             neq = (ns != nd).any(axis=1)
             print(f"FAIL {name}: {int(neq.sum())}/{len(ns)} rows differ; first:")
@@ -100,6 +130,12 @@ def main() -> int:
             print(f"PASS {name} ({len(sdf)} rows, {took:.1f}s)")
             if len(sdf) == 0:
                 print(f"WARN {name}: 0 rows (trivially equal)")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
