@@ -358,9 +358,58 @@ def q_minhash_lsh_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFra
     return D.minhash_near_dup_pairs_portable(_docs(spark, sf_dir), tau=0.2)
 
 
-@query("simhash_near_dup")
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+         END AS tk
+  FROM documents
+), bits AS (
+  -- bit j of a token's 64-bit hash = bit (j%8) of md5 byte j//8,
+  -- recovered from the hex digest by pair arithmetic — exactly the
+  -- little-endian first-8-bytes view simhash64 takes of md5
+  SELECT doc_id,
+    list_transform(range(0, 64), j ->
+      CASE WHEN COALESCE(list_sum(list_transform(tk, t ->
+        CASE WHEN (((strpos('0123456789abcdef', substr(md5(t), 2*(j//8)+1, 1))-1)*16
+                   + (strpos('0123456789abcdef', substr(md5(t), 2*(j//8)+2, 1))-1))
+                  >> (j % 8)) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+           THEN 1 ELSE 0 END) AS bv
+  FROM toks
+), banded AS (
+  SELECT doc_id, bv, u.b AS band,
+         list_sum(list_transform(range(0, 16),
+                                 r -> bv[16*u.b + r + 1] * (1 << r))) AS key
+  FROM bits, unnest([0, 1, 2, 3]) AS u(b)
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+  FROM banded x
+  JOIN banded y ON x.band = y.band AND x.key = y.key
+               AND x.doc_id < y.doc_id
+), hammed AS (
+  SELECT p.a_id, p.b_id,
+         CAST(list_sum(list_transform(range(0, 64), j ->
+           CASE WHEN xa.bv[j+1] <> xb.bv[j+1] THEN 1 ELSE 0 END)) AS INT)
+           AS hamming
+  FROM pairs p
+  JOIN bits xa ON xa.doc_id = p.a_id
+  JOIN bits xb ON xb.doc_id = p.b_id
+)
+SELECT a_id, b_id, hamming FROM hammed WHERE hamming <= 3
+"""
+
+
+@query("simhash_near_dup", oracle=_SIMHASH_ORACLE)
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: SimHash64 + banded hamming-ball candidates (<= 3 bits)."""
+    """SimHash64 + banded hamming-ball candidates (≤ 3 bits), now
+    oracle-gated: simhash64's token hash is md5-derived, so the oracle
+    replays the per-bit ±1 vote, the sign, the four 16-bit pigeonhole
+    band keys, and the exact hamming verify entirely in SQL — the sketch
+    construction itself is value-checked, not just its planted-dup
+    behavior."""
     sim = D.simhash64(_docs(spark, sf_dir))
     return D.simhash_near_dup_candidates(sim, max_hamming=3)
 

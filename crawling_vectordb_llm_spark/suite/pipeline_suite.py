@@ -389,9 +389,12 @@ def q_e2e_crawl_to_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P10).  No action until the driver collects — every stage is plan
     nodes, so Catalyst prunes columns through the UDF boundaries and the
     crawl partitions stream straight into embedding without a
-    materialization.  Rows-only gate (hash embeddings aren't
-    SQL-expressible); determinism pinned by the crawl source + hash
-    encoder + fake generator all being pure functions."""
+    materialization.  Rows-only gate — the input is the synthetic-crawl
+    Python Data Source, which the oracle's parquet views cannot see (the
+    hash-embed stage itself IS SQL-expressible now: embed_knn_self /
+    late_interaction_search replay it in their oracles); determinism
+    pinned by the crawl source + hash encoder + fake generator all being
+    pure functions."""
     from crawling_vectordb_llm_spark.embedding import make_embed_udf
     from crawling_vectordb_llm_spark.functions.text import clean_text
     from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy

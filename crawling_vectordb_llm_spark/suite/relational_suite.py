@@ -232,14 +232,37 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentile")
+@query(
+    "approx_percentile",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_exact,
+       TRUE AS p50_ok, TRUE AS p90_ok
+FROM orders GROUP BY o_orderstatus
+""",
+)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (sketch values are engine-specific): percentile_approx
-    (t-digest-style) — accuracy vs exact percentile asserted in tests."""
+    """percentile_approx, oracle-gated via the approx_distinct/HLL
+    pattern (sketch values are engine-specific, so the sketch value
+    itself can't be hashed): the query emits the EXACT percentiles
+    alongside `*_ok` = the approx estimate landing inside the
+    [q-0.01, q+0.01] exact-quantile envelope — far looser than the
+    sketch's n/1000 rank-error contract, so the hash fails the moment
+    the sketch drifts.  One aggregation pass computes all of it."""
     o = _t(spark, sf_dir, "orders")
+
+    def pct(q: float):
+        return F.expr(f"percentile(o_totalprice, {q})")
+
+    def ok(q: float, approx):
+        return (approx >= pct(q - 0.01)) & (approx <= pct(q + 0.01))
+
     return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"),
-        F.percentile_approx("o_totalprice", 0.9, 1000).alias("p90_approx"),
+        F.round(pct(0.5), 6).alias("p50_exact"),
+        F.round(pct(0.9), 6).alias("p90_exact"),
+        ok(0.5, F.percentile_approx("o_totalprice", 0.5, 1000)).alias("p50_ok"),
+        ok(0.9, F.percentile_approx("o_totalprice", 0.9, 1000)).alias("p90_ok"),
     )
 
 

@@ -200,11 +200,90 @@ def q_rag_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rag_generate(hits)
 
 
-@query("embed_knn_self")
+def _md5_embed_fragment(src: str, name: str, dim: int = 64) -> str:
+    """Reusable CTE chain replaying the DEFAULT hash embedder
+    (embedding.py hash_encode_batch) in DuckDB over `src` (a subquery
+    producing (id, txt)): token bucket/sign from md5 (hex-pair
+    arithmetic reproduces the little-endian first-4-bytes mod dim and
+    the byte-4 parity sign exactly), integer-valued bucket sums
+    (order-free), float64 L2 normalize, float32 cast (the udf emits
+    array<float>).  Emits CTE `{name}` with columns (id, e DOUBLE[])."""
+
+    def hx(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    bucket = (
+        f"({hx(1)}*16 + {hx(2)} + ({hx(3)}*16 + {hx(4)})*256"
+        f" + ({hx(5)}*16 + {hx(6)})*65536"
+        f" + ({hx(7)}*16 + {hx(8)})*16777216) % {dim}"
+    )
+    sign = f"CASE WHEN ({hx(10)} % 2) = 1 THEN 1.0 ELSE -1.0 END"
+    return f"""{name}_toks AS (
+  SELECT id,
+         CASE WHEN regexp_replace(lower(txt), '^\\s+|\\s+$', '', 'g') = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(
+                     regexp_replace(lower(txt), '^\\s+|\\s+$', '', 'g'),
+                     '\\s+')
+         END AS tk
+  FROM ({src})
+), {name}_feats AS (
+  SELECT id,
+         list_transform(list_transform(tk, t -> md5(t)),
+                        h -> struct_pack(b := {bucket}, s := {sign})) AS fs
+  FROM {name}_toks
+), {name}_raw AS (
+  SELECT id,
+         list_transform(range(0, {dim}),
+           j -> COALESCE(list_sum(
+                  list_transform(fs, f -> CASE WHEN f.b = j THEN f.s
+                                               ELSE 0.0 END)), 0.0)) AS v
+  FROM {name}_feats
+), {name}_nrm AS (
+  SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM {name}_raw
+), {name} AS (
+  SELECT id,
+         CASE WHEN n > 0
+              THEN list_transform(v, x -> CAST(CAST(x / n AS FLOAT) AS DOUBLE))
+              ELSE v END AS e
+  FROM {name}_nrm
+)"""
+
+
+def _hash_embed_oracle(dim: int = 64, n_queries: int = 5, k: int = 3) -> str:
+    """md5-embed replay + cosine top-k — upgrades the S7 embed stage
+    itself from property-tested to value-oracled."""
+    frag = _md5_embed_fragment(
+        "SELECT doc_id AS id, text AS txt FROM documents", "emb", dim
+    )
+    return f"""
+WITH {frag}, renamed AS (
+  SELECT id AS doc_id, e FROM emb
+), scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id,
+         list_cosine_similarity(q.e, c.e) AS score
+  FROM renamed q CROSS JOIN renamed c
+  WHERE q.doc_id < {n_queries}
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(rank AS INT) AS rank, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("embed_knn_self", oracle=_hash_embed_oracle())
 def q_embed_knn_self(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: hash-embed document texts (S5/J1 embedding stage), then
-    kNN each of the first 5 docs against the embedded corpus.  Property
-    checked in tests: rank-1 neighbor of a doc is itself (score 1.0)."""
+    """Hash-embed document texts (the S7 embedding stage: iterator
+    pandas_udf, md5 bag-of-hashed-words stand-in — a real model plugs
+    into the same seam), then kNN each of the first 5 docs against the
+    embedded corpus.  Now oracle-gated end-to-end (the oracle replays
+    the embedder's md5 bucket/sign arithmetic in SQL); the rank-1 =
+    self property stays pinned in tests."""
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     embed = make_embed_udf(dim=64)
     emb = docs.select("doc_id", embed(F.col("text")).alias("vector"))
@@ -308,13 +387,59 @@ def q_pq_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("late_interaction_search")
+def _late_interaction_oracle(k_chunks: int = 64, k_docs: int = 3) -> str:
+    """Replay chunking (1-based 150-char steps, 200-char substr — the
+    exact chunk_documents arithmetic), md5-embed every chunk and query,
+    per-query top-`k_chunks` chunk candidates (tie-break = chunk_key
+    string order, matching Spark), ColBERT-style max-pool to doc level,
+    top-`k_docs`."""
+    chunks_src = (
+        "SELECT doc_id || '#' || CAST((u.start - 1) // 150 AS VARCHAR) AS id, "
+        "substr(text, CAST(u.start AS INT), 200) AS txt "
+        "FROM documents, "
+        "unnest(generate_series(1, greatest(length(text), 1), 150)) AS u(start)"
+    )
+    queries_src = (
+        "SELECT doc_id AS id, substr(text, 1, 200) AS txt "
+        "FROM documents WHERE doc_id < 5"
+    )
+    return f"""
+WITH {_md5_embed_fragment(chunks_src, "cemb")},
+{_md5_embed_fragment(queries_src, "qemb")},
+cand AS (
+  SELECT q.id AS query_id, c.id AS chunk_key,
+         list_cosine_similarity(q.e, c.e) AS s
+  FROM qemb q CROSS JOIN cemb c
+), topc AS (
+  SELECT query_id, chunk_key, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, chunk_key ASC) AS rn
+  FROM cand
+), pooled AS (
+  SELECT query_id,
+         CAST(string_split(chunk_key, '#')[1] AS BIGINT) AS doc_id,
+         MAX(ROUND(s, 6)) AS doc_score
+  FROM topc WHERE rn <= {k_chunks}
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, doc_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY doc_score DESC, doc_id ASC) AS INT)
+         AS rank
+FROM pooled
+QUALIFY rank <= {k_docs}
+"""
+
+
+@query("late_interaction_search", oracle=_late_interaction_oracle())
 def q_late_interaction_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: multi-vector (late-interaction) retrieval — documents are
-    chunked (200 chars, 50 overlap), each CHUNK hash-embedded, and a doc's
-    score for a query is the MAX over its chunk scores (ColBERT-style
-    max-pool reduced to one vector per chunk).  Long documents stop losing
-    to truncation: a match anywhere in the doc surfaces it.
+    """Multi-vector (late-interaction) retrieval, now oracle-gated
+    end-to-end (chunking + md5-embed replay + max-pool in SQL) —
+    documents are chunked (200 chars, 50 overlap), each CHUNK
+    hash-embedded, and a doc's score for a query is the MAX over its
+    chunk scores (ColBERT-style max-pool reduced to one vector per
+    chunk).  Long documents stop losing to truncation: a match anywhere
+    in the doc surfaces it.
 
     Scale shape: chunk explosion is map-only; chunk scoring reuses the
     per-partition GEMM + local-top-k combine (shuffle independent of

@@ -51,8 +51,11 @@ def test_oracle_parity(spark, duck, name):
 
 
 def test_approx_percentile_accuracy(spark):
-    approx = {
-        r["o_orderstatus"]: (r["p50_approx"], r["p90_approx"])
+    """The query carries its own envelope gate now (p50_ok/p90_ok = the
+    sketch value inside the [q±0.01] exact-quantile band); its exact
+    columns must match percentile_stats' exact percentiles."""
+    rows = {
+        r["o_orderstatus"]: r
         for r in QUERIES["approx_percentile"](spark, SF_SMALL).collect()
     }
     exact = {
@@ -60,9 +63,9 @@ def test_approx_percentile_accuracy(spark):
         for r in QUERIES["percentile_stats"](spark, SF_SMALL).collect()
     }
     for status, (p50, p90) in exact.items():
-        a50, a90 = approx[status]
-        assert abs(a50 - p50) / p50 < 0.05
-        assert abs(a90 - p90) / p90 < 0.05
+        r = rows[status]
+        assert r["p50_exact"] == p50 and r["p90_exact"] == p90
+        assert r["p50_ok"] and r["p90_ok"]
 
 
 def test_approx_distinct_accuracy(spark):
