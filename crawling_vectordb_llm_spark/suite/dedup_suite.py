@@ -461,20 +461,51 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_dedup_clusters")
+def _portable_minhash_clusters_oracle(tau: float = 0.2) -> str:
+    """The portable-ladder pairs oracle wrapped with the recursive-CTE
+    connected-components fixpoint and per-doc labeling — the text-side
+    twin of the dedup_clusters oracle."""
+    pairs_sql = _portable_minhash_oracle(tau=tau)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+sym AS (
+  SELECT a_id AS a, b_id AS b FROM pairs
+  UNION
+  SELECT b_id AS a, a_id AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM sym
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+), labels AS (
+  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       (d.doc_id = COALESCE(l.cluster_id, d.doc_id)) AS is_canonical
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+"""
+
+
+@query("minhash_dedup_clusters", oracle=_portable_minhash_clusters_oracle())
 def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the full text-dedup resolution path — MinHash → LSH
-    candidates → exact-Jaccard verify (tau=0.2) → connected components →
-    every doc labeled (cluster canonical = min doc_id, keep flag).  This
-    is the pipeline a 100 TB corpus actually runs end-to-end; the
-    embedding-side dedup_clusters twin is the oracle-checked variant of
-    the same CC kernel."""
+    """The full text-dedup resolution path, now oracle-gated end-to-end
+    via the portable hash family: MinHash → LSH candidates →
+    exact-Jaccard verify (tau=0.2) → connected components → every doc
+    labeled (cluster canonical = min doc_id, keep flag).  This is the
+    pipeline a 100 TB corpus actually runs end-to-end; the oracle replays
+    the whole ladder plus the recursive-CTE CC fixpoint.  (The xxhash64
+    mixing variant of the same ladder stays available as
+    minhash_near_dup_pairs — stronger mixing, engine-internal hash.)"""
     from crawling_vectordb_llm_spark.operators.components import (
         connected_components,
     )
 
     docs = _docs(spark, sf_dir)
-    pairs = D.minhash_near_dup_pairs(docs, tau=0.2).select("a_id", "b_id")
+    pairs = D.minhash_near_dup_pairs_portable(docs, tau=0.2).select(
+        "a_id", "b_id"
+    )
     labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
     return (
         docs.select("doc_id")

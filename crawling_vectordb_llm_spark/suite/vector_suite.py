@@ -476,13 +476,86 @@ def q_late_interaction_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mmr_rerank_topk")
+def _mmr_oracle(k: int = 5, n_cand: int = 20, lam: float = 0.7) -> str:
+    """Replay the greedy MMR loop by UNROLLING it: k chained CTE steps,
+    each picking the argmax of lam·rel − (1−lam)·max-sim-to-selected over
+    the not-yet-selected candidates (QUALIFY row_number) — greedy
+    sequential selection needs no recursion when k is a literal.  The
+    penalty weight is written `(1.0 - {lam})` so the oracle's double is
+    bit-identical to Python's `1.0 - lam` (0.3 ≠ 1.0-0.7 in IEEE754!);
+    ties break exactly like np.argmax over the (rel DESC, id ASC)-sorted
+    candidate order: mmr DESC, rel DESC, doc_id ASC."""
+    steps = []
+    prevs = []
+    for i in range(1, k + 1):
+        if i == 1:
+            steps.append(f"""sel1 AS (
+  SELECT query_id, doc_id, s, {lam} * s AS mmr_raw, 1 AS r
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY {lam} * s DESC, s DESC, doc_id ASC) = 1
+)""")
+        else:
+            prev_union = " UNION ALL ".join(
+                f"SELECT query_id, doc_id FROM sel{j}" for j in range(1, i)
+            )
+            steps.append(f"""prev{i} AS (
+  {prev_union}
+), sel{i} AS (
+  SELECT query_id, doc_id, s, mmr_raw, {i} AS r
+  FROM (
+    SELECT c.query_id, c.doc_id, c.s,
+           {lam} * c.s - (1.0 - {lam}) * MAX(sm.sim) AS mmr_raw
+    FROM cand c
+    JOIN prev{i} p ON p.query_id = c.query_id
+    JOIN sims sm ON sm.query_id = c.query_id
+                AND sm.a_id = c.doc_id AND sm.b_id = p.doc_id
+    LEFT JOIN prev{i} x ON x.query_id = c.query_id AND x.doc_id = c.doc_id
+    WHERE x.doc_id IS NULL
+    GROUP BY c.query_id, c.doc_id, c.s
+  )
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY mmr_raw DESC, s DESC, doc_id ASC) = 1
+)""")
+        prevs.append(f"SELECT query_id, doc_id, s, mmr_raw, r FROM sel{i}")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS raw
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 5
+), cand AS (
+  SELECT query_id, doc_id, ROUND(raw, 6) AS s
+  FROM (
+    SELECT query_id, doc_id, raw,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY raw DESC, doc_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {n_cand}
+), sims AS (
+  SELECT c.query_id, c.doc_id AS a_id, d.doc_id AS b_id,
+         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) AS sim
+  FROM cand c
+  JOIN cand d ON d.query_id = c.query_id AND d.doc_id <> c.doc_id
+  JOIN embeddings ea ON ea.vec_id = c.doc_id
+  JOIN embeddings eb ON eb.vec_id = d.doc_id
+), {", ".join(steps)}
+SELECT query_id, doc_id, s AS score,
+       CAST(r AS INT) AS mmr_rank, ROUND(mmr_raw, 6) AS mmr_score
+FROM ({" UNION ALL ".join(prevs)})
+"""
+
+
+@query("mmr_rerank_topk", oracle=_mmr_oracle())
 def q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: MMR-diversified retrieval — exact kNN top-20 candidates
-    per query, then greedy maximal-marginal-relevance pick of 5 inside
-    applyInPandas (one shuffle on query_id; the N² novelty term runs over
-    the bounded candidate set, never the corpus).  Determinism and
-    diversity-dominance are pinned in tests."""
+    """MMR-diversified retrieval, now oracle-gated (the greedy loop is
+    unrolled into k chained SQL steps — see _mmr_oracle): exact kNN
+    top-20 candidates per query, then greedy maximal-marginal-relevance
+    pick of 5 inside applyInPandas (one shuffle on query_id; the N²
+    novelty term runs over the bounded candidate set, never the corpus).
+    Determinism and diversity-dominance stay pinned in tests."""
     from crawling_vectordb_llm_spark.operators.mmr import mmr_rerank
 
     emb = _emb(spark, sf_dir)
