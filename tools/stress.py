@@ -186,6 +186,20 @@ def tau_join_deep(copies: int = 10) -> None:
           f"{'distributed fixpoint' if n_pairs > 500_000 else 'driver fast path'}): "
           f"{t_cc:.1f}s -> {n_nodes} labeled nodes")
 
+    # the pruned exact join on the same corpus: replicas are exact
+    # duplicates, so cells are tight and the triangle-inequality prune
+    # should skip most of the grid — the clustered-data regime it targets
+    from crawling_vectordb_llm_spark.operators.ivf import (
+        ivf_pruned_threshold_join,
+    )
+
+    t0 = time.time()
+    n_pruned = ivf_pruned_threshold_join(V, tau=0.35, n_cells=16).count()
+    t_pruned = time.time() - t0
+    assert n_pruned == n_pairs, (n_pruned, n_pairs)  # exactness at scale
+    print(f"ivf_pruned_tau_join: {t_pruned:.1f}s -> {n_pruned} pairs "
+          f"(= blocked join, exactness held)")
+
 
 if __name__ == "__main__":
     if "--tau-join" in sys.argv:
