@@ -76,6 +76,7 @@ HEADLINE = [
     "near_dup_pipeline_clusters",
     "cross_encoder_rerank",
     "bpe_token_count",
+    "quality_classifier_filter",
 ]
 
 

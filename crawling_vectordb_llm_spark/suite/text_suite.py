@@ -728,3 +728,74 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term").cast("double"), 6).alias("entropy"),
         )
     )
+
+
+def _quality_clf_fixture() -> tuple[list[float], float, int]:
+    """Frozen quality-classifier weights (operators/quality_clf.py):
+    logistic regression over 64-dim hashed bag-of-words features,
+    trained once against the repo's quality_score heuristic binarized
+    at its median (84% train agreement) and checked in — the deployed
+    shape of a learned curation filter, like the BPE merge fixture."""
+    import json
+    import os
+
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "quality_clf_v1.json",
+    )
+    with open(p) as fh:
+        d = json.load(fh)
+    return d["weights"], d["bias"], d["dim"]
+
+
+def _quality_clf_oracle() -> str:
+    """Replay featurize→score→band in SQL: the md5-embed fragment
+    (vector_suite) produces the identical float32-cast embedding, the
+    logit is the same SEQUENTIAL left fold (list_reduce) over e[j]*w[j]
+    plus bias, and the fixed-point/band outputs involve no
+    transcendentals — bit-equality end to end."""
+    from crawling_vectordb_llm_spark.suite.vector_suite import (
+        _md5_embed_fragment,
+    )
+
+    weights, bias, dim = _quality_clf_fixture()
+    wlit = "[" + ", ".join(repr(w) for w in weights) + "]"
+    frag = _md5_embed_fragment(
+        "SELECT doc_id AS id, text AS txt FROM documents", "emb", dim
+    )
+    return f"""
+WITH {frag}, scored AS (
+  SELECT id AS doc_id,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(range(1, {dim + 1}), j -> e[j] * ({wlit})[j])),
+           (acc, x) -> acc + x) + {repr(bias)} AS l
+  FROM emb
+)
+SELECT doc_id,
+       CAST(FLOOR(l * 1e6 + 0.5) AS BIGINT) AS logit_e6,
+       CASE WHEN l >= 0.5 THEN 'keep'
+            WHEN l >= -0.5 THEN 'review'
+            ELSE 'drop' END AS band
+FROM scored
+"""
+
+
+@query("quality_classifier_filter", oracle=_quality_clf_oracle())
+def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEARNED tier of the curation ladder (CCNet / GPT-3 / FineWeb
+    style): hashed bag-of-words featurization (one iterator-pandas_udf
+    pass) scored by a frozen logistic-regression weight fixture entirely
+    in JVM expressions — map-only at any corpus size — then banded into
+    keep / review / drop.  Oracle replays featurization, the order-pinned
+    fold, and the banding bit-for-bit; training is driver-side on a
+    bounded sample (tests/test_quality_clf.py)."""
+    from crawling_vectordb_llm_spark.operators.quality_clf import (
+        quality_classify,
+    )
+
+    weights, bias, dim = _quality_clf_fixture()
+    return quality_classify(
+        spark.read.parquet(table_path(sf_dir, "documents")), weights, bias, dim
+    )
