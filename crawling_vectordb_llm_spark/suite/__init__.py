@@ -14,6 +14,7 @@ from crawling_vectordb_llm_spark.suite import (  # noqa: F401
     relational_suite,
     streaming_suite,
     text_suite,
+    tpch_suite,
     training_suite,
     vector_suite,
 )

@@ -150,3 +150,69 @@ def test_hll_rolling_shuffles_raw_events_once(spark):
         if "Exchange hashpartitioning" in line:
             assert "event_id" not in line and "value#" not in line
             assert "ts#" not in line and "props" not in line
+
+
+def test_tpch_q6_all_predicates_pushed_scan_only(spark):
+    """Q6 is the pure scan query: every range predicate must reach the
+    parquet reader, the projection must prune to the 4 used columns, and
+    the single global aggregate needs exactly one exchange."""
+    import contextlib
+    import io
+
+    df = QUERIES["tpch_q6_shape"](spark, SF_MEDIUM)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")  # formatted mode prints filters untruncated
+    plan = buf.getvalue()
+    assert "PushedFilters:" in plan
+    for f in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert f in plan, f
+    schema = next(
+        l for l in plan.splitlines() if l.strip().startswith("ReadSchema")
+    )
+    assert schema.count(":") - 1 == 4, schema  # 4 pruned columns
+    import re as _re
+
+    # formatted mode names each node once in the tree and once in the
+    # detail section — count the detail headers
+    n_exchanges = len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M))
+    assert n_exchanges == 1  # partial agg -> single final agg
+
+
+def test_tpch_q5_snowflake_broadcasts_every_dim(spark):
+    """Every dimension (customer, supplier, nation, region) must ride a
+    broadcast; at sf0.01 even orders is small enough that AQE broadcasts
+    the fact-fact join too, so only the broadcast count is pinned (plus:
+    no cartesian anywhere)."""
+    plan = plan_of(spark, "tpch_q5_shape")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q10_topk_avoids_full_sort(spark):
+    plan = plan_of(spark, "tpch_q10_shape")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark):
+    plan = plan_of(spark, "tpch_q4_shape")
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q16_not_in_becomes_broadcast_anti(spark):
+    plan = plan_of(spark, "tpch_q16_shape")
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_tpch_q21_single_aggregate_no_self_join(spark):
+    """The EXISTS/NOT-EXISTS pair is decorrelated into ONE per-order
+    aggregate — the plan must scan lineitem exactly once (the textbook
+    formulation scans it three times)."""
+    plan = plan_of(spark, "tpch_q21_shape")
+    assert sum("FileScan" in l and "lineitem" in l for l in plan.splitlines()) == 1
