@@ -858,3 +858,116 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
         F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_words"),
     )
+
+
+@query(
+    "hash_split_train_val",
+    oracle="""
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY split, lang
+""",
+)
+def q_hash_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by md5(doc_id) range
+    (~90/5/5) with a per-(split, lang) audit.  Content-hash routing —
+    not rand() — so the split is identical across reruns, engines, and
+    cluster sizes, and a doc never migrates between splits when the
+    corpus grows (the property that prevents train->test leakage across
+    dataset versions).  Map-side expression + one aggregation; at 100 TB
+    the write is `df.write.partitionBy('split')` with this same column."""
+    d = _docs(spark, sf_dir)
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle="""
+WITH dom AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS DOUBLE) AS n,
+         SUM(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z
+  FROM dom
+)
+SELECT d.source, d.n_docs,
+       ROUND(d.n_docs / t.n, 6) AS p_natural,
+       ROUND(pow(CAST(d.n_docs AS DOUBLE), 0.7) / t.z, 6) AS p_mixture,
+       ROUND((pow(CAST(d.n_docs AS DOUBLE), 0.7) / t.z)
+             / (d.n_docs / t.n), 6) AS oversample_factor
+FROM dom d CROSS JOIN tot t
+""",
+)
+def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-/domain-
+    sampling rule p_i^alpha / sum p_j^alpha, alpha=0.7): per source
+    domain, the natural share, the flattened mixture share, and the
+    oversample factor a data loader would apply.  Since p_i^a/sum(p_j^a)
+    == n_i^a/sum(n_j^a), the weights are computed from raw counts —
+    one tiny aggregate + a broadcast scalar join, any corpus size."""
+    d = _docs(spark, sf_dir)
+    dom = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    nd = F.col("n_docs").cast("double")
+    tot = dom.agg(
+        F.sum("n_docs").cast("double").alias("n"),
+        F.sum(F.pow(nd, 0.7)).alias("z"),
+    )
+    p_nat = F.col("n_docs") / F.col("n")
+    p_mix = F.pow(nd, 0.7) / F.col("z")
+    return dom.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(p_nat, 6).alias("p_natural"),
+        F.round(p_mix, 6).alias("p_mixture"),
+        F.round(p_mix / p_nat, 6).alias("oversample_factor"),
+    )
+
+
+@query(
+    "priority_sample_topk",
+    oracle="""
+WITH pri AS (
+  SELECT doc_id, n_chars,
+         CAST(n_chars AS DOUBLE)
+           / ((CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 1)
+              / 4294967296.0) AS priority
+  FROM documents
+)
+SELECT doc_id, n_chars, ROUND(priority, 6) AS priority
+FROM pri ORDER BY priority DESC, doc_id LIMIT 100
+""",
+)
+def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Thorup): weight-proportional sampling
+    without replacement as a deterministic global top-k on priority
+    q_i = w_i / u_i, with u_i an md5-derived dyadic rational in (0, 1] —
+    so u_i is EXACT in both engines and the double division is bit-
+    identical (no libm in the hot path, unlike exp/pow-keyed A-ES).
+    Weight = n_chars.  Map-side expression + TakeOrderedAndProject:
+    per-partition top-100 then a driver merge — no global sort, the only
+    sampling-without-replacement scheme that runs in one pass at 100 TB."""
+    d = _docs(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    pri = (F.col("n_chars").cast("double") / u).alias("priority")
+    return (
+        d.select("doc_id", "n_chars", pri)
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "n_chars", F.round("priority", 6).alias("priority"))
+    )
