@@ -77,6 +77,13 @@ HEADLINE = [
     "cross_encoder_rerank",
     "bpe_token_count",
     "quality_classifier_filter",
+    # round 3: classic TPC-H shapes + new sampling/split ops
+    "tpch_q5_shape",
+    "tpch_q6_shape",
+    "tpch_q10_shape",
+    "tpch_q21_shape",
+    "hash_split_train_val",
+    "priority_sample_topk",
 ]
 
 
@@ -98,11 +105,20 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     results: dict[str, float] = {}
+    import gc
+
     for name in HEADLINE:
         fn = QUERIES[name]
         run_query(fn, spark, sf_dir)  # cold: plan compile + cache warm
         warm = sorted(run_query(fn, spark, sf_dir) for _ in range(n_runs))
         results[name] = round(warm[len(warm) // 2], 3)  # median
+        # reap blocks pinned by this query's localCheckpoints: each
+        # run_query builds a fresh DataFrame, so prior runs' checkpointed
+        # RDDs are pure block-manager ballast that turns into GC stalls
+        # ~40 queries in (measured: a 1.4s query reading 5.9s mid-bench)
+        spark.catalog.clearCache()
+        gc.collect()  # drop py-side refs so ContextCleaner can unpersist
+        spark.sparkContext._jvm.System.gc()
 
     # ingest-shaped pipeline throughput (BASELINE.md bench plan): clean →
     # hash-embed → normalize → bulk parquet write, rows/s

@@ -42,7 +42,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # auto-broadcast stays on (10 MB); we additionally hint explicitly
         # in operators where we KNOW the side is small (dims, query sets).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs 32 task threads in ONE heap: at 8g the block
+        # manager starts evicting localCheckpoint blocks ~40 queries into
+        # a bench run and GC stalls triple query times (measured 2.4s ->
+        # 5.5s on interval_overlap_join); 24g keeps storage+execution
+        # comfortable on the 128 GiB box while staying far under it
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",
