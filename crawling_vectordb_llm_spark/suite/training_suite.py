@@ -971,3 +971,77 @@ def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "n_chars", F.round("priority", 6).alias("priority"))
     )
+
+
+@query(
+    "stratified_quota_sample",
+    oracle="""
+SELECT doc_id, lang, CAST(rank AS INT) AS rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rank
+  FROM documents)
+WHERE rank <= 40
+""",
+)
+def q_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing with EXACT per-stratum quotas: keep exactly
+    min(40, n) docs per lang, chosen by md5(doc_id) order — a
+    deterministic uniform draw (hash order is independent of content),
+    unlike rate-based sampling whose per-stratum counts fluctuate.
+    WindowGroupLimit pushes rank<=40 below the per-group sort, so state
+    per stratum is 40 rows regardless of stratum size — the
+    quota-sampling shape that survives a billion-doc majority class."""
+    from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+
+    d = _docs(spark, sf_dir)
+    picked = grouped_topk(
+        d.select("doc_id", "lang"),
+        ["lang"],
+        [F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")],
+        40,
+        rank_col="rank",
+    )
+    return picked.select("doc_id", "lang", F.col("rank").cast("int").alias("rank"))
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+WHERE rn = 1
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization: within each exact-duplicate group keep the BEST
+    copy (longest, ties by id) rather than an arbitrary one — the
+    survivor-selection step that runs after any dedup ladder (exact here;
+    the same max_by shape applies to MinHash/CC cluster ids).  One
+    shuffle on the content hash; max_by is an ordinary partial-aggregable
+    aggregate, so the map side already reduces each group to one row —
+    cheaper than the row_number window at skewed 100 TB group sizes."""
+    d = _docs(spark, sf_dir)
+    best = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("doc_id"),
+                    F.col("lang"),
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("b.lang").alias("lang"),
+            F.col("b.n_chars").alias("n_chars"),
+        )
+    )
+    return best
