@@ -29,6 +29,7 @@ from crawling_vectordb_llm_spark.operators.pq import pq_adc_shortlist, pq_encode
 from crawling_vectordb_llm_spark.operators.semdedup import semantic_dedup
 from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy, threshold_similarity_join
 from crawling_vectordb_llm_spark.session import get_spark
+from crawling_vectordb_llm_spark.suite import QUERIES
 from crawling_vectordb_llm_spark.streaming.windows import sessionize_batch, tumbling_agg
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -59,6 +60,7 @@ def main() -> None:
     events = read_table(spark, SF_DIR, "events")
     docs = read_table(spark, SF_DIR, "documents")
     emb = read_table(spark, SF_DIR, "embeddings")
+    customer = read_table(spark, SF_DIR, "customer")
 
     # near-dup pair list computed ONCE at 1x; replicated per copy with id
     # offsets so the CC input grows linearly (disjoint copy subgraphs) and
@@ -81,6 +83,11 @@ def main() -> None:
         replicate(events, copies, ["event_id", "user_id"]).write.mode("overwrite").parquet(f"{d}/events")
         replicate(docs, copies, ["doc_id"]).write.mode("overwrite").parquet(f"{d}/documents")
         replicate(emb, copies, ["vec_id"]).write.mode("overwrite").parquet(f"{d}/embeddings")
+        # customer replicated in lockstep with orders' o_custkey offsets;
+        # supplier/nation/region/part are true dims — 1x at any scale
+        replicate(customer, copies, ["c_custkey"]).write.mode("overwrite").parquet(f"{d}/customer")
+        for dim in ("supplier", "nation", "region", "part"):
+            read_table(spark, SF_DIR, dim).write.mode("overwrite").parquet(f"{d}/{dim}")
         L = spark.read.parquet(f"{d}/lineitem")
         O = spark.read.parquet(f"{d}/orders")
         E = spark.read.parquet(f"{d}/events")
@@ -132,6 +139,14 @@ def main() -> None:
             ).count(),
             "dsir": lambda: dsir_importance(
                 D, F.col("source").isin("src0", "src1")
+            ).count(),
+            # d now holds a full replicated table set, so the registered
+            # TPC-H composites run against it unchanged
+            "tpch_q5_snowflake": lambda: QUERIES["tpch_q5_shape"](
+                spark, d
+            ).count(),
+            "tpch_q21_exists": lambda: QUERIES["tpch_q21_shape"](
+                spark, d
             ).count(),
             "semantic_dedup": lambda: semantic_dedup(
                 V, tau=0.4, n_clusters=8 * copies
