@@ -251,8 +251,8 @@ JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation sn ON s.s_nationkey = sn.n_nationkey
 JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+WHERE ((sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_11')
+    OR (sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_19'))
   AND l.l_shipdate >= TIMESTAMP '1996-01-01'
   AND l.l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY supp_nation, cust_nation, l_year
@@ -275,10 +275,12 @@ def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = n.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
-    pair = (F.col("supp_nation") == "NATION_1") & (
-        F.col("cust_nation") == "NATION_2"
-    ) | (F.col("supp_nation") == "NATION_2") & (
-        F.col("cust_nation") == "NATION_1"
+    # nation pair populated at every fixture scale (sf0.001 has only 10
+    # supplier nations; NATION_1/2 hold none there)
+    pair = (F.col("supp_nation") == "NATION_19") & (
+        F.col("cust_nation") == "NATION_11"
+    ) | (F.col("supp_nation") == "NATION_11") & (
+        F.col("cust_nation") == "NATION_19"
     )
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
