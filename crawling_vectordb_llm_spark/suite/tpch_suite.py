@@ -768,7 +768,7 @@ WITH lines AS (
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE o.o_orderstatus = 'F'
 )
-SELECT s.s_name, COUNT(*) AS numwait
+SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
 FROM lines l1
 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -789,8 +789,11 @@ def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     an order contributes iff it has >1 distinct supplier and exactly one
     late supplier — computed with a single groupBy(l_orderkey), then the
     surviving (orderkey, late supplier) pairs join the supplier dim.
-    Same result set as the textbook anti/semi-join pair, one shuffle
-    fewer, and immune to the skewed-orderkey self-join."""
+    numwait counts waiting ORDERS per supplier (COUNT(DISTINCT
+    l1.l_orderkey) in the oracle) — the textbook form counts late LINES,
+    which double-counts a supplier shipping several late lines in one
+    order.  Same result set as the anti/semi-join pair otherwise, one
+    shuffle fewer, and immune to the skewed-orderkey self-join."""
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")

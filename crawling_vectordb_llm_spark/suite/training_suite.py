@@ -899,7 +899,8 @@ WITH dom AS (
   SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
 ), tot AS (
   SELECT CAST(SUM(n_docs) AS DOUBLE) AS n,
-         SUM(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z
+         CAST(SUM(CAST(pow(CAST(n_docs AS DOUBLE), 0.7) AS DECIMAL(38,18)))
+              AS DOUBLE) AS z
   FROM dom
 )
 SELECT d.source, d.n_docs,
@@ -922,7 +923,11 @@ def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame
     nd = F.col("n_docs").cast("double")
     tot = dom.agg(
         F.sum("n_docs").cast("double").alias("n"),
-        F.sum(F.pow(nd, 0.7)).alias("z"),
+        # decimal-cast before summing: a float SUM's value depends on
+        # partial-aggregation order (the ADVICE-r2 Rocchio class of
+        # flakiness); per-row double->decimal(38,18) rounding is
+        # order-free and identical in both engines
+        F.sum(F.pow(nd, 0.7).cast("decimal(38,18)")).cast("double").alias("z"),
     )
     p_nat = F.col("n_docs") / F.col("n")
     p_mix = F.pow(nd, 0.7) / F.col("z")
