@@ -78,21 +78,21 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {}
     for copies in (1, 4, 16):
         d = os.path.join(base, f"x{copies}")
-        replicate(lineitem, copies, ["l_orderkey"]).write.mode("overwrite").parquet(f"{d}/lineitem")
-        replicate(orders, copies, ["o_orderkey", "o_custkey"]).write.mode("overwrite").parquet(f"{d}/orders")
-        replicate(events, copies, ["event_id", "user_id"]).write.mode("overwrite").parquet(f"{d}/events")
-        replicate(docs, copies, ["doc_id"]).write.mode("overwrite").parquet(f"{d}/documents")
-        replicate(emb, copies, ["vec_id"]).write.mode("overwrite").parquet(f"{d}/embeddings")
+        replicate(lineitem, copies, ["l_orderkey"]).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        replicate(orders, copies, ["o_orderkey", "o_custkey"]).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        replicate(events, copies, ["event_id", "user_id"]).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        replicate(docs, copies, ["doc_id"]).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        replicate(emb, copies, ["vec_id"]).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
         # customer replicated in lockstep with orders' o_custkey offsets;
         # supplier/nation/region/part are true dims — 1x at any scale
-        replicate(customer, copies, ["c_custkey"]).write.mode("overwrite").parquet(f"{d}/customer")
+        replicate(customer, copies, ["c_custkey"]).write.mode("overwrite").parquet(f"{d}/customer.parquet")
         for dim in ("supplier", "nation", "region", "part"):
-            read_table(spark, SF_DIR, dim).write.mode("overwrite").parquet(f"{d}/{dim}")
-        L = spark.read.parquet(f"{d}/lineitem")
-        O = spark.read.parquet(f"{d}/orders")
-        E = spark.read.parquet(f"{d}/events")
-        D = spark.read.parquet(f"{d}/documents")
-        V = spark.read.parquet(f"{d}/embeddings")
+            read_table(spark, SF_DIR, dim).write.mode("overwrite").parquet(f"{d}/{dim}.parquet")
+        L = spark.read.parquet(f"{d}/lineitem.parquet")
+        O = spark.read.parquet(f"{d}/orders.parquet")
+        E = spark.read.parquet(f"{d}/events.parquet")
+        D = spark.read.parquet(f"{d}/documents.parquet")
+        V = spark.read.parquet(f"{d}/embeddings.parquet")
 
         cases = {
             "hash_agg": lambda: L.groupBy("l_returnflag", "l_linestatus")
