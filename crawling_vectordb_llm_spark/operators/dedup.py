@@ -188,16 +188,17 @@ def _pairs_from_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
+def banded_rows(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 4,
-    max_bucket: int = 50,
 ) -> DataFrame:
-    """Band the signature; docs sharing any band-hash become candidates.
-    Shuffle key is (band, hash(rows)) — uniformly distributed."""
-    banded = signatures.select(
+    """(__id, band, band_hash) rows — the LSH bucket relation.  This is
+    also the PERSISTABLE index format for incremental dedup
+    (operators/incremental_dedup.py): store it partitioned/bucketed by
+    (band, band_hash) and later batches probe only touched buckets."""
+    return signatures.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
             F.array(
@@ -213,7 +214,20 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    return _pairs_from_banded(banded, max_bucket)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Band the signature; docs sharing any band-hash become candidates.
+    Shuffle key is (band, hash(rows)) — uniformly distributed."""
+    return _pairs_from_banded(
+        banded_rows(signatures, id_col, bands, rows_per_band), max_bucket
+    )
 
 
 # ---------------------------------------------------------------------------

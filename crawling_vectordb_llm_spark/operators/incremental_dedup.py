@@ -1,0 +1,162 @@
+"""Incremental near-dup detection against a persisted LSH band index.
+
+The reference re-ingests its whole crawl every run (TencentVDB.py:63-79
+drops and rebuilds the collection); a 100 TB pipeline cannot — the daily
+increment is small, the corpus is not.  This module makes the LSH band
+relation (``operators/dedup.py banded_rows``: one (__id, band, band_hash)
+row per doc per band) the PERSISTED dedup index, so each new batch:
+
+  1. computes signatures/band rows for the NEW docs only (O(batch)),
+  2. probes the stored index for the touched buckets only — with the
+     index written ``partitionBy('band')`` + bucketed by band_hash, this
+     is a pruned scan, never a full-index pass,
+  3. emits candidate pairs that involve at least one new doc (old-old
+     pairs were emitted by earlier batches),
+  4. appends its band rows to the index (the vdb versioned format gives
+     the append + time travel for free).
+
+Exactness contract (tested): batch k's emitted pairs are IDENTICAL to
+the pairs involving batch-k docs from one full-corpus run over
+everything ingested up to and including batch k — the `max_bucket` flood
+cap included, because the cap is evaluated on the COMBINED (old ∪ new)
+bucket membership, never the batch alone.
+
+What is deliberately NOT claimed: the union of all batches' outputs can
+differ from a single final-corpus run in one direction — a bucket that
+was small at batch j but floods past `max_bucket` at batch k>j already
+emitted its batch-j pairs, and an append-only pipeline does not retract
+them (the final-corpus run would have suppressed the whole bucket).
+That is inherent to incremental processing under a flood guard and is
+the correct production behavior: the cap is an OOM guard, not a
+semantic filter, and retraction would require rewriting emitted pair
+history.  The equality test pins the per-batch-snapshot guarantee; a
+companion test documents the flood-crossing divergence explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawling_vectordb_llm_spark.operators.dedup import (
+    _pairs_from_banded,
+    banded_rows,
+    minhash_signatures,
+    ngram_jaccard,
+    portable_band_hashes,
+    portable_minhash_signatures,
+    word_shingles,
+)
+
+
+def portable_banded_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(__id, band, band_hash) via the portable (cross-engine exact)
+    hash family — the oracle-checkable twin of dedup.banded_rows."""
+    sigs = portable_minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        shingle_n=shingle_n,
+    )
+    return sigs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            portable_band_hashes(F.col("signature"), bands, rows_per_band)
+        ).alias("band", "band_hash"),
+    )
+
+
+def xxhash_banded_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Production-default band rows (xxhash64 mixing)."""
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        shingle_n=shingle_n,
+    )
+    return banded_rows(sigs, id_col=id_col, bands=bands,
+                       rows_per_band=rows_per_band)
+
+
+def incremental_candidate_pairs(
+    index_rows: DataFrame,
+    new_rows: DataFrame,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate pairs involving ≥1 NEW doc, probing only buckets the new
+    batch touches.
+
+    Shuffle shape at scale: `touched` is O(batch × bands) keys; the
+    left-semi join against the index is a pruned scan when the index is
+    laid out by (band, band_hash); the bucket groupBy shuffles only rows
+    in touched buckets — never the whole index.  The flood cap applies to
+    the COMBINED (old ∪ new) membership, preserving bit-equality with the
+    full-corpus run (module docstring)."""
+    touched = new_rows.select("band", "band_hash").distinct()
+    old_touched = index_rows.join(touched, ["band", "band_hash"], "left_semi")
+    combined = old_touched.unionByName(new_rows)
+    pairs = _pairs_from_banded(combined, max_bucket)
+    new_ids = new_rows.select(F.col("__id").alias("__nid")).distinct()
+    # keep pairs with >=1 new member; the new-id set is batch-sized, so a
+    # broadcast OR-condition semi join stays a nested-loop over a tiny
+    # hash side (never a shuffle of the pair list)
+    return pairs.join(
+        F.broadcast(new_ids),
+        (pairs["a_id"] == F.col("__nid")) | (pairs["b_id"] == F.col("__nid")),
+        "left_semi",
+    )
+
+
+def incremental_near_dup_portable(
+    corpus: DataFrame,
+    new_pred: F.Column,
+    tau: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """End-to-end incremental ladder (portable hash family): docs where
+    `new_pred` holds are the incoming batch, the rest are the already-
+    indexed corpus.  Returns (a_id, b_id, jaccard) pairs involving ≥1 new
+    doc, exact-Jaccard verified at `tau` — bit-identical to the DuckDB
+    replay of the full ladder filtered to new-involving pairs."""
+    old_rows = portable_banded_rows(
+        corpus.where(~new_pred), id_col, text_col, num_perm, shingle_n,
+        bands, rows_per_band,
+    )
+    new_rows = portable_banded_rows(
+        corpus.where(new_pred), id_col, text_col, num_perm, shingle_n,
+        bands, rows_per_band,
+    )
+    cands = incremental_candidate_pairs(old_rows, new_rows, max_bucket)
+    sh = corpus.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            ngram_jaccard(F.col("a_sh"), F.col("b_sh")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= tau)
+    )

@@ -274,6 +274,7 @@ def _portable_minhash_oracle(
     rows_per_band: int = 4,
     max_bucket: int = 50,
     tau: float = 0.2,
+    pair_filter: str = "TRUE",
 ) -> str:
     """Generate the DuckDB replay of the ENTIRE portable MinHash ladder
     (operators/dedup.py portable_* family): char-rolling shingle hashes,
@@ -342,7 +343,32 @@ JOIN sh b ON b.doc_id = c.b_id
 WHERE len(list_intersect(a.shingles, b.shingles))
       / GREATEST(len(list_distinct(list_concat(a.shingles, b.shingles))), 1)
       >= {tau}
+  AND ({pair_filter})
 """
+
+
+@query(
+    "incremental_near_dup",
+    oracle=_portable_minhash_oracle(
+        pair_filter="c.a_id % 2 = 1 OR c.b_id % 2 = 1"
+    ),
+)
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup against a persisted LSH band index
+    (operators/incremental_dedup.py): even-id docs play the
+    already-indexed corpus, odd-id docs the incoming crawl batch.  Only
+    the batch is signed; the index is probed on touched buckets only;
+    the flood cap is evaluated on the COMBINED bucket membership — so
+    the output is bit-identical to the full-corpus ladder restricted to
+    pairs involving the batch, which is exactly what the oracle
+    computes (same portable-hash replay, plus the odd-id pair filter)."""
+    from crawling_vectordb_llm_spark.operators.incremental_dedup import (
+        incremental_near_dup_portable,
+    )
+
+    return incremental_near_dup_portable(
+        _docs(spark, sf_dir), F.col("doc_id") % 2 == 1, tau=0.2
+    )
 
 
 @query("minhash_lsh_near_dup_portable", oracle=_portable_minhash_oracle())
