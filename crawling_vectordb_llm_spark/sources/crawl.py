@@ -68,78 +68,184 @@ _VOID_TAGS = frozenset(
 )
 
 
-def _parse_simple_selector(selector: str) -> tuple[str | None, str | None, str | None]:
-    """'tag.class' / 'tag#id' / '.class' / '#id' / 'tag' → (tag, class, id).
-    Combinators/attribute selectors need bs4 — reject them explicitly."""
+class _Step:
+    """One compound selector: tag (None = any/'*'), classes (ALL must be
+    present), id, and [attr op value] conditions."""
+
+    __slots__ = ("tag", "classes", "id", "attrs")
+
+    def __init__(self, tag, classes, id_, attrs):
+        self.tag, self.classes, self.id, self.attrs = tag, classes, id_, attrs
+
+    def matches(self, el) -> bool:
+        tag, classes, id_, attrs = el
+        if self.tag and tag != self.tag:
+            return False
+        if self.classes and not self.classes <= classes:
+            return False
+        if self.id and id_ != self.id:
+            return False
+        for name, op, val in self.attrs:
+            got = attrs.get(name)
+            if got is None:
+                return False
+            if op == "=" and got != val:
+                return False
+            if op == "^=" and not got.startswith(val):
+                return False
+            if op == "$=" and not got.endswith(val):
+                return False
+            if op == "*=" and val not in got:
+                return False
+            if op == "~=" and val not in got.split():
+                return False
+        return True
+
+
+_ATOM_RE = None  # compiled lazily (module import stays cheap on executors)
+
+
+def _compile_selector(selector: str) -> list[tuple[str, _Step]]:
+    """CSS subset → [(combinator, step)] matched right-to-left.
+
+    Supported without bs4: tag / '*' / .class (several) / #id /
+    [attr] [attr=v] [attr^=v] [attr$=v] [attr*=v] [attr~=v] (value
+    optionally quoted) compounded freely, joined by descendant (space)
+    and child ('>') combinators.  Rejected (need bs4): selector lists
+    (','), sibling combinators ('+'/'~'), pseudo-classes/elements (':').
+    The first step's combinator slot is ''."""
     import re as _re
 
-    m = _re.fullmatch(
-        r"(?P<tag>[a-zA-Z][\w-]*)?(?:\.(?P<cls>[\w-]+)|#(?P<id>[\w-]+))?", selector
-    )
-    if not m or not selector:
-        raise ValueError(
-            f"unsupported selector {selector!r}: without bs4 installed only "
-            "simple selectors (tag, .class, #id, tag.class, tag#id) work"
+    global _ATOM_RE
+    if _ATOM_RE is None:
+        _ATOM_RE = _re.compile(
+            r"(?P<tag>[a-zA-Z][\w-]*|\*)?"
+            r"(?P<quals>(?:\.[\w-]+|#[\w-]+|\[[^\]]+\])*)"
         )
-    tag = m.group("tag")
-    # CSS tag names are case-insensitive and HTMLParser lowercases tags
-    return (tag.lower() if tag else None), m.group("cls"), m.group("id")
+    err = (
+        f"unsupported selector {selector!r}: without bs4 the stdlib engine "
+        "covers tag/*/.class/#id/[attr(=^$*~)val] compounds with descendant "
+        "and '>' combinators; selector lists, sibling combinators and "
+        "pseudo-classes need bs4"
+    )
+    s = (selector or "").strip()
+    if not s:
+        raise ValueError(err)
+    steps: list[tuple[str, _Step]] = []
+    i, comb = 0, ""
+    while i < len(s):
+        m = _ATOM_RE.match(s, i)
+        if not m or m.end() == i or (not m.group("tag") and not m.group("quals")):
+            raise ValueError(err)
+        tag = m.group("tag")
+        tag = None if tag in (None, "*") else tag.lower()
+        classes, id_, attrs = set(), None, []
+        for qm in _re.finditer(
+            r"\.(?P<cls>[\w-]+)|#(?P<id>[\w-]+)|\[(?P<attr>[^\]]+)\]",
+            m.group("quals"),
+        ):
+            if qm.group("cls"):
+                classes.add(qm.group("cls"))
+            elif qm.group("id"):
+                id_ = qm.group("id")
+            else:
+                am = _re.fullmatch(
+                    r"\s*(?P<n>[\w-]+)\s*(?:(?P<op>[\^\$\*~]?=)\s*"
+                    r"(?P<v>\"[^\"]*\"|'[^']*'|[^\s\]]*)\s*)?",
+                    qm.group("attr"),
+                )
+                if not am:
+                    raise ValueError(err)
+                val = am.group("v")
+                if val and val[0] in "\"'":
+                    val = val[1:-1]
+                attrs.append(
+                    (am.group("n").lower(), am.group("op") or "", val or "")
+                )
+        steps.append((comb, _Step(tag, classes, id_, attrs)))
+        i = m.end()
+        ws = _re.match(r"\s*(>)?\s*", s[i:])
+        nxt = ws.group(0)
+        if i + len(nxt) >= len(s):
+            if ws.group(1):
+                raise ValueError(err)  # dangling '>'
+            break
+        if not nxt:
+            raise ValueError(err)  # e.g. ',', '+', '~', ':' hit the atom re
+        comb = ">" if ws.group(1) else " "
+        i += len(nxt)
+    if not steps:
+        raise ValueError(err)
+    return steps
+
+
+def _chain_matches(steps, stack) -> bool:
+    """Right-to-left CSS matching with backtracking over the open-element
+    stack (descendant steps may need a FARTHER ancestor when the nearest
+    candidate has no matching context above it)."""
+
+    def rec(si: int, ei: int) -> bool:
+        if not steps[si][1].matches(stack[ei]):
+            return False
+        if si == 0:
+            return True
+        if steps[si][0] == ">":
+            return ei > 0 and rec(si - 1, ei - 1)
+        return any(rec(si - 1, j) for j in range(ei - 1, -1, -1))
+
+    return rec(len(steps) - 1, len(stack) - 1)
 
 
 def select_text(html: str, selector: str) -> str | None:
-    """First-match text content for a simple CSS selector, via the stdlib
-    HTML parser — handles NESTED markup correctly (the depth counter tracks
-    the matched element's subtree), unlike a non-greedy regex which stops
-    at the first same-tag close.  The bs4-backed path in `extract_content`
+    """First-match text content for the supported CSS subset, via the
+    stdlib HTML parser — nested-markup-correct (capture ends when the
+    matched element leaves the open-element stack, which also survives
+    stray/missing end tags), unlike a non-greedy regex which stops at the
+    first same-tag close.  The bs4-backed path in `extract_content`
     supersedes this when bs4 is importable."""
     from html.parser import HTMLParser
 
-    tag_want, cls_want, id_want = _parse_simple_selector(selector)
+    steps = _compile_selector(selector)
 
     class _Extract(HTMLParser):
         def __init__(self) -> None:
             super().__init__(convert_charrefs=True)
-            self.capturing = False
+            self.stack: list[tuple] = []  # (tag, classes, id, attrs)
+            self.capture_at: int | None = None
             self.done = False
-            self.depth = 0
             self.out: list[str] = []
 
-        def _matches(self, tag: str, attrs) -> bool:
-            if tag_want and tag != tag_want:
-                return False
-            d = dict(attrs)
-            if cls_want and cls_want not in (d.get("class") or "").split():
-                return False
-            if id_want and d.get("id") != id_want:
-                return False
-            return True
-
         def handle_starttag(self, tag: str, attrs) -> None:
-            if self.done:
+            if self.done or tag in _VOID_TAGS:
                 return
-            if self.capturing:
-                if tag not in _VOID_TAGS:
-                    self.depth += 1
-            elif tag not in _VOID_TAGS and self._matches(tag, attrs):
-                self.capturing = True
-                self.depth = 1
+            d = {k: (v or "") for k, v in attrs}
+            self.stack.append(
+                (tag, set((d.get("class") or "").split()), d.get("id"), d)
+            )
+            if self.capture_at is None and _chain_matches(steps, self.stack):
+                self.capture_at = len(self.stack)
 
         def handle_endtag(self, tag: str) -> None:
-            if self.done or not self.capturing or tag in _VOID_TAGS:
+            if self.done or tag in _VOID_TAGS:
                 return
-            self.depth -= 1
-            if self.depth == 0:
-                self.capturing = False
+            # recovery: pop to the nearest matching open tag; ignore
+            # stray end tags entirely
+            for i in range(len(self.stack) - 1, -1, -1):
+                if self.stack[i][0] == tag:
+                    del self.stack[i:]
+                    break
+            if self.capture_at is not None and len(self.stack) < self.capture_at:
+                self.capture_at = None
                 self.done = True
 
         def handle_data(self, data: str) -> None:
-            if self.capturing:
+            if self.capture_at is not None:
                 self.out.append(data)
 
     p = _Extract()
     p.feed(html or "")
     p.close()
-    return "".join(p.out) if (p.done or p.capturing) else None
+    return "".join(p.out) if (p.done or p.capture_at is not None) else None
 
 
 def make_selector_fn(selector: str):
@@ -158,7 +264,7 @@ def make_selector_fn(selector: str):
 
         return sel, "bs4"
     except ImportError:
-        _parse_simple_selector(selector)
+        _compile_selector(selector)
 
         def sel(html: str) -> str | None:
             return select_text(html, selector)
