@@ -84,6 +84,7 @@ HEADLINE = [
     "tpch_q21_shape",
     "hash_split_train_val",
     "priority_sample_topk",
+    "incremental_near_dup",
 ]
 
 

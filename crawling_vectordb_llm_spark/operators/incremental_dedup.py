@@ -136,18 +136,47 @@ def incremental_near_dup_portable(
     indexed corpus.  Returns (a_id, b_id, jaccard) pairs involving ≥1 new
     doc, exact-Jaccard verified at `tau` — bit-identical to the DuckDB
     replay of the full ladder filtered to new-involving pairs."""
-    old_rows = portable_banded_rows(
-        corpus.where(~new_pred), id_col, text_col, num_perm, shingle_n,
-        bands, rows_per_band,
-    )
-    new_rows = portable_banded_rows(
-        corpus.where(new_pred), id_col, text_col, num_perm, shingle_n,
-        bands, rows_per_band,
-    )
-    cands = incremental_candidate_pairs(old_rows, new_rows, max_bucket)
+    # one shingle+signature pass over the corpus, split by the batch flag
+    # afterwards — in production the old half comes from the PERSISTED
+    # index, so the query should not pay a second signing pass either
+    # (3 text passes -> 1 measured 4.8s -> ~2s at sf0.1)
     sh = corpus.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+        F.col(id_col),
+        new_pred.alias("__new"),
+        word_shingles(text_col, shingle_n).alias("sh"),
     ).where(F.size("sh") > 0)
+    sh.persist()
+    from crawling_vectordb_llm_spark.operators.dedup import (
+        MERSENNE31,
+        perm_coeffs,
+        portable_shingle_hashes,
+    )
+
+    hashed = sh.select(
+        id_col, "__new", portable_shingle_hashes(F.col("sh")).alias("hashes")
+    )
+    P = F.lit(MERSENNE31)
+
+    def _perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("hashes", _perm(a, b)))
+            for a, b in perm_coeffs(num_perm)
+        ]
+    )
+    all_rows = hashed.select(
+        F.col(id_col).alias("__id"),
+        "__new",
+        F.posexplode(
+            portable_band_hashes(sig, bands, rows_per_band)
+        ).alias("band", "band_hash"),
+    )
+    all_rows.persist()
+    old_rows = all_rows.where(~F.col("__new")).drop("__new")
+    new_rows = all_rows.where(F.col("__new")).drop("__new")
+    cands = incremental_candidate_pairs(old_rows, new_rows, max_bucket)
     a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
     return (
