@@ -591,3 +591,62 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs).select(
         F.col("node").alias("vec_id"), "n_triangles"
     )
+
+
+@query(
+    "semantic_dedup_soundness",
+    oracle="SELECT vec_id, TRUE AS ok FROM embeddings",
+)
+def q_semantic_dedup_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup graduated to an oracle gate (r3): the verdict column set
+    itself is not SQL-expressible (iterative k-means + greedy election),
+    but its SOUNDNESS contract is checkable row-by-row in Spark and the
+    value hash pins every row to ok=TRUE:
+
+      * dropped rows must have a KEPT neighbor in the same cell whose
+        recomputed cosine is >= tau and equals the reported max_sim_kept
+        to within one unit of the 6th decimal (the operator sums in numpy
+        float64, the re-check in SQL zip_with float64 — a different
+        summation order, so the last rounded digit may legally differ by
+        one ulp-induced step);
+      * kept rows must report the -1.0 sentinel;
+      * the oracle's row count pins exactly-once coverage of the corpus.
+
+    The re-verify join is dropped x kept WITHIN a cell — the same O(cell²)
+    shape as the operator itself, so the gate scales wherever the operator
+    does."""
+    from crawling_vectordb_llm_spark.functions import vector as V
+    from crawling_vectordb_llm_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    tau = 0.4
+    verdicts = semantic_dedup(emb, tau=tau, n_clusters=8, seed=42)
+    with_vec = verdicts.join(emb.select("vec_id", "embedding"), "vec_id")
+    kept = with_vec.where(F.col("keep")).select(
+        F.col("centroid_id").alias("k_cell"),
+        F.col("vec_id").alias("k_id"),
+        F.col("embedding").alias("k_vec"),
+    )
+    dropped = with_vec.where(~F.col("keep"))
+    # recompute every dropped row's best kept-neighbor cosine in its cell
+    best = (
+        dropped.join(kept, dropped["centroid_id"] == kept["k_cell"])
+        .where(F.col("k_id") != F.col("vec_id"))
+        .groupBy("vec_id", "max_sim_kept")
+        .agg(
+            F.round(
+                F.max(V.cosine("embedding", "k_vec")), 6
+            ).alias("best_kept_sim")
+        )
+        .select(
+            "vec_id",
+            (
+                (F.col("best_kept_sim") >= tau - 1e-6)
+                & (F.abs(F.col("best_kept_sim") - F.col("max_sim_kept")) <= 1.5e-6)
+            ).alias("ok"),
+        )
+    )
+    kept_ok = with_vec.where(F.col("keep")).select(
+        "vec_id", (F.col("max_sim_kept") == F.lit(-1.0)).alias("ok")
+    )
+    return kept_ok.unionByName(best)
