@@ -883,3 +883,166 @@ def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q11: important-stock identification.  partsupp is derived from lineitem
+# exactly as in the q2 adaptation (availqty = total shipped quantity,
+# supplycost = min unit price); the GERMANY filter becomes region ASIA
+# (every fixture sf has ASIA suppliers); TPC-H's absolute FRACTION
+# threshold (0.0001/SF) becomes the scale-free "value > 2x the mean part
+# value", which selects a non-trivial subset at every fixture sf.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q11_shape",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS availqty,
+         MIN(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), asia AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(availqty * supplycost AS DECIMAL(22,6))) AS DOUBLE)
+           AS value
+  FROM ps JOIN asia ON ps.l_suppkey = asia.s_suppkey GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, ROUND(value, 6) AS value
+FROM v WHERE value > 2.0 * (SELECT SUM(value) / COUNT(*) FROM v)
+""",
+)
+def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group-by over the derived part-supplier relation,
+    supplier side restricted by a broadcast dim chain, and the global
+    HAVING threshold as a broadcast scalar subquery (one extra reduce of
+    the tiny per-part aggregate — never a rescan of lineitem).  Per-part
+    value sums are pinned order-independent by the decimal(22,6) cast of
+    each availqty*supplycost product before summation, on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        _dsum(F.col("l_quantity")).alias("availqty"),
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "supplycost"
+        ),
+    )
+    asia = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        ps.join(F.broadcast(asia), ps["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("availqty") * F.col("supplycost")).cast("decimal(22,6)")
+            )
+            .cast("double")
+            .alias("value")
+        )
+    )
+    thresh = v.agg(
+        (2.0 * F.sum("value") / F.count("*")).alias("thresh")
+    )
+    return (
+        v.join(F.broadcast(thresh))
+        .where(F.col("value") > F.col("thresh"))
+        .select(
+            F.col("l_partkey").alias("partkey"), F.round("value", 6).alias("value")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20: potential-part-promotion suppliers.  p_name LIKE 'forest%' becomes
+# LIKE '%widget' (the fixture's part names are '<adj> <noun>'); availqty
+# is the derived all-time shipped quantity per (part, supplier), and the
+# q20 condition "availqty > 0.5 * year's shipped qty" becomes "1996
+# accounted for less than half of the supplier's all-time volume of that
+# part"; CANADA becomes region AFRICA.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q20_shape",
+    oracle="""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS total_qty,
+         CAST(SUM(CAST(CASE WHEN year(l_shipdate) = 1996 THEN l_quantity
+                            ELSE 0 END AS DECIMAL(22,6))) AS DOUBLE)
+           AS qty_1996
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%widget'
+  GROUP BY l_partkey, l_suppkey
+), cands AS (
+  SELECT DISTINCT l_suppkey FROM shipped
+  WHERE qty_1996 > 0 AND total_qty > 2 * qty_1996
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AFRICA'
+  AND s_suppkey IN (SELECT l_suppkey FROM cands)
+""",
+)
+def q_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested IN subqueries decorrelate into one
+    aggregate over the part-filtered lineitem (part side broadcast) and a
+    LEFT SEMI join from the region-filtered supplier dim to the candidate
+    suppkeys — no correlated rescans, one shuffle on (partkey, suppkey)."""
+    l = _t(spark, sf_dir, "lineitem")
+    widget = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget"))
+        .select("p_partkey")
+    )
+    shipped = (
+        l.join(F.broadcast(widget), l["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("total_qty"),
+            _dsum(
+                F.when(F.year("l_shipdate") == 1996, F.col("l_quantity"))
+                .otherwise(F.lit(0))
+            ).alias("qty_1996"),
+        )
+    )
+    cands = (
+        shipped.where(
+            (F.col("qty_1996") > 0)
+            & (F.col("total_qty") > 2 * F.col("qty_1996"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(
+            cands, F.col("s_suppkey") == cands["l_suppkey"], "left_semi"
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
