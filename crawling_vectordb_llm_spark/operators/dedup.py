@@ -613,3 +613,94 @@ def contamination_report(
     return grouped_topk(
         scored, ["bench_id"], [F.desc("containment"), F.asc(id_col)], k
     )
+
+
+def positional_word_shingles(text_col: str, n: int = 5) -> F.Column:
+    """Like word_shingles but keeps EVERY occurrence in position order
+    (index i = shingle starting at token i, 0-based) — the form span
+    excision needs, where word_shingles' array_distinct would erase
+    within-doc repeats.  Same shifted-slice zip_with construction (and the
+    same reason: a captured split() is not CSE'd inside a higher-order
+    lambda, so the capture form would re-split per shingle)."""
+    toks = F.split(F.col(text_col), " ")
+    m = F.size(toks) - (n - 1)
+    sh = F.slice(toks, 1, m)
+    for i in range(1, n):
+        sh = F.zip_with(
+            sh, F.slice(toks, i + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.when(F.size(toks) >= n, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def duplicate_span_excise(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos_pack: int = 1_000_000,
+) -> DataFrame:
+    """Substring-level dedup TRANSFORM (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): excise every n-token
+    span that occurs >= min_count times in the corpus, keeping exactly the
+    globally-first occurrence (min (doc_id, pos)) — the companion operator
+    to the duplicate_ngram_spans signal, producing the cleaned corpus.
+
+    Returns (id_col, n_tokens int, n_excised int, clean_text string) with
+    one row per input document; clean_text drops every token covered by a
+    non-owner duplicated span occurrence.
+
+    Scale shape (100 TB-safe): explode to (gram, doc, pos) occurrences
+    (n x token volume), one shuffle to count per-gram occurrences and
+    elect the owner (a single min of the packed doc*pos key — no struct
+    min, no second pass), one shuffle joining survivors back to
+    occurrences, and one shuffle re-grouping covered positions per doc.
+    The only per-doc state is the distinct covered-position list, bounded
+    by the document's own token count.  Within-doc repeats of a gram are
+    occurrences too, so a doc that plagiarizes itself is trimmed to one
+    copy.  Position packs into doc_id * pos_pack + pos; pos_pack need
+    only exceed the max token count per document (1e6 ~ a 4 MB document
+    at avg 4 chars/token, far above the P4/P9 truncation caps upstream)."""
+    toks = F.split(F.col(text_col), " ")
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(positional_word_shingles(text_col, n)).alias("pos", "gram"),
+    )
+    packed = occ.select(
+        "gram", (F.col(id_col) * pos_pack + F.col("pos")).alias("okey")
+    )
+    dup = (
+        packed.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("okey").alias("owner_key"))
+        .where(F.col("n_occ") >= min_count)
+        .select("gram", "owner_key")
+    )
+    # non-owner occurrences of duplicated grams -> covered token positions
+    covered = (
+        occ.join(dup, "gram")
+        .where(F.col(id_col) * pos_pack + F.col("pos") != F.col("owner_key"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("cpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("cpos")).alias("cov"))
+    )
+    out = docs.join(covered, id_col, "left").select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).alias("n_excised"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                toks, lambda t, i: ~F.coalesce(
+                    F.array_contains("cov", i), F.lit(False)
+                )
+            ),
+        ).alias("clean_text"),
+    )
+    return out

@@ -650,3 +650,60 @@ def q_semantic_dedup_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", (F.col("max_sim_kept") == F.lit(-1.0)).alias("ok")
     )
     return kept_ok.unionByName(best)
+
+
+@query(
+    "duplicate_span_excise",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM t)
+), dup AS (
+  SELECT gram, MIN(doc_id * 1000000 + pos) AS owner_key
+  FROM occ GROUP BY gram HAVING COUNT(*) >= 2
+), covered AS (
+  SELECT doc_id, list_sort(list_distinct(list(cpos))) AS cov
+  FROM (
+    SELECT o.doc_id, unnest(range(o.pos, o.pos + 5)) AS cpos
+    FROM occ o JOIN dup d USING (gram)
+    WHERE o.doc_id * 1000000 + o.pos <> d.owner_key
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS INT) AS n_tokens,
+       CAST(COALESCE(len(c.cov), 0) AS INT) AS n_excised,
+       COALESCE(array_to_string(
+         list_filter(
+           list_transform(range(1, len(t.w) + 1),
+                          i -> CASE WHEN c.cov IS NULL
+                                      OR NOT list_contains(c.cov, i - 1)
+                                    THEN t.w[i] END),
+           x -> x IS NOT NULL),
+         ' '), '') AS clean_text
+FROM t LEFT JOIN covered c USING (doc_id)
+""",
+)
+def q_duplicate_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup TRANSFORM (Lee et al. 2022) as a corpus pass:
+    every 5-gram span occurring >= 2 times anywhere in the corpus is
+    excised except its globally-first occurrence (min packed (doc, pos)
+    key), and each document is reassembled without the covered tokens —
+    the cleaned-corpus counterpart of the duplicate_ngram_spans signal.
+    Four shuffles total (occurrence count+owner election, survivor
+    join-back, per-doc covered-set regroup, final doc join), all JVM
+    array exprs, no UDFs."""
+    from crawling_vectordb_llm_spark.operators.dedup import (
+        duplicate_span_excise,
+    )
+
+    return duplicate_span_excise(
+        _docs(spark, sf_dir), n=5, min_count=2
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_excised").cast("int").alias("n_excised"),
+        "clean_text",
+    )

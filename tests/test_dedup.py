@@ -396,3 +396,47 @@ def test_ivf_pruned_threshold_join_prunes_clustered_data(spark):
     )
     full = len(radii) * (len(radii) + 1) // 2
     assert admissible < full  # pruning really happened
+
+
+def test_duplicate_span_excise_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),      # owner of the shared span
+            (1, "x a b c d e y z"),      # copies "a b c d e" -> excised
+            (2, "p q r s t u v w"),      # unique: untouched
+            (3, "m m m m m m m m m m"),  # self-repeats its own 5-gram
+            (4, "short doc"),            # under the span width: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicate_span_excise(docs, n=5, min_count=2).collect()
+    }
+    # the globally-first occurrence survives intact
+    assert out[0]["clean_text"] == "a b c d e f g h"
+    assert out[0]["n_excised"] == 0
+    # the copy loses exactly the shared 5 tokens, keeps its own
+    assert out[1]["clean_text"] == "x y z"
+    assert out[1]["n_excised"] == 5
+    # unique and too-short docs pass through
+    assert out[2]["clean_text"] == "p q r s t u v w"
+    assert out[4]["clean_text"] == "short doc"
+    assert out[4]["n_tokens"] == 2
+    # within-doc repetition collapses toward the first copy: every token
+    # covered by a non-owner occurrence of "m m m m m" goes
+    assert out[3]["n_excised"] == 9
+    assert out[3]["clean_text"] == "m"
+
+
+def test_duplicate_span_excise_no_dups_is_identity(spark):
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    # raise min_count above any plausible fixture collision for a 7-gram
+    out = D.duplicate_span_excise(docs, n=7, min_count=1_000_000)
+    assert out.where(F.col("n_excised") != 0).count() == 0
+    joined = (
+        out.join(docs, "doc_id")
+        .where(F.col("clean_text") != F.col("text"))
+        .count()
+    )
+    assert joined == 0
