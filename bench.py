@@ -85,6 +85,9 @@ HEADLINE = [
     "hash_split_train_val",
     "priority_sample_topk",
     "incremental_near_dup",
+    "duplicate_span_excise",
+    "tpch_q11_shape",
+    "tpch_q20_shape",
 ]
 
 
