@@ -471,3 +471,114 @@ def q_rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("hll_ok"),
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cohort_wk, a.wk) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the week of their first
+    event, counted distinct in every subsequent week they were active —
+    the classic product-analytics triangle.  Two aggregations shuffling
+    only (user_id, week) pairs plus one join on user_id that reuses the
+    same hash partitioning; the output is |cohorts| x |weeks| rows —
+    tiny at any corpus scale.  Weeks via date_trunc (Monday-anchored in
+    both engines); offsets are exact integer day-diffs / 7."""
+    ev = read_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "gap_fill_interpolate",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6) AS v
+  FROM events
+  WHERE event_type = 'purchase' AND user_id < 30
+  GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+), scaffold AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+       d.v IS NULL AS filled,
+       last_value(d.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM scaffold s LEFT JOIN daily d USING (user_id, day)
+""",
+)
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (the hypertable resample/fill shape): each
+    user's purchase value is rolled up to days, the missing days inside
+    the user's own [first, last] span are generated with sequence() +
+    explode, and values forward-fill via last(ignoreNulls) over a
+    running frame.  The scaffold explode is bounded by span length, the
+    fill window partitions by user (no global sort), and the daily
+    rollup decimal-pins the sums so both engines fill identical values."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(22,6)")).cast("double"), 6
+            ).alias("v")
+        )
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    scaffold = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scaffold.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("v").isNull().alias("filled"),
+            F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )
