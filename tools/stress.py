@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from crawling_vectordb_llm_spark.catalog import read_table
 from crawling_vectordb_llm_spark.operators.components import connected_components
 from crawling_vectordb_llm_spark.operators.dedup import (
+    duplicate_span_excise,
     minhash_near_dup_pairs,
     paragraph_dedup,
 )
@@ -125,6 +126,7 @@ def main() -> None:
             ).count(),
             "minhash_neardup": lambda: minhash_near_dup_pairs(D, tau=0.5).count(),
             "paragraph_dedup": lambda: paragraph_dedup(D).count(),
+            "span_excise": lambda: duplicate_span_excise(D).count(),
             "pq_adc_50q": lambda: pq_adc_shortlist(
                 V.where(F.col("vec_id") < 50).select(
                     F.col("vec_id").alias("query_id"),
