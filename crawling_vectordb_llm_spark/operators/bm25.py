@@ -33,6 +33,27 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k BM25 docs per keyword query.  queries = [(query_id, text)]."""
     spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, text in queries for t in text.split()],
+        "query_id long, term string",
+    ).distinct()
+    scored = bm25_scores(docs, qterms, id_col=id_col, text_col=text_col)
+    return grouped_topk(
+        scored, ["query_id"], [F.desc("score"), F.asc(id_col)], k
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    qterms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 scores (query_id, id_col, score) for DISTINCT (query_id, term)
+    pairs — the core bm25_topk wraps, factored out so queries can be
+    DERIVED relations (e.g. a document's own token set for self-retrieval
+    evaluation) instead of driver literals, and so callers can filter the
+    scored relation (exclude self-matches, thresholds) BEFORE ranking."""
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
@@ -47,11 +68,6 @@ def bm25_topk(
         ).first()["a"]
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, text in queries for t in text.split()],
-        "query_id long, term string",
-    ).distinct()
 
     idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tf_part = (F.col("tf") * (K1 + 1)) / (
@@ -70,9 +86,6 @@ def bm25_topk(
             (idf * tf_part).cast("decimal(18,9)").alias("s"),
         )
     )
-    scored = partial.groupBy("query_id", id_col).agg(
+    return partial.groupBy("query_id", id_col).agg(
         F.round(F.sum("s").cast("double"), 6).alias("score")
-    )
-    return grouped_topk(
-        scored, ["query_id"], [F.desc("score"), F.asc(id_col)], k
     )

@@ -1225,3 +1225,137 @@ def q_lsh_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ann = grouped_topk(joined, ["query_id"], [F.asc("dist"), F.asc("vec_id")], 10)
     return _recall_gate(ann, _exact_top10(emb), n_queries=10, k=10, threshold=0.6)
+
+
+def _retrieval_eval_oracle(n_queries: int = 15, k: int = 10) -> str:
+    """BM25-retrieval-vs-embedding-qrels IR metrics, replayed end-to-end
+    in SQL: md5-embed cosine top-k (minus self) defines the relevant set,
+    BM25 over each query doc's own distinct tokens (minus self) is the
+    system under test, and recall/MRR/nDCG use the SAME 9-dp gain/IDCG
+    literals the Spark operator bakes in (operators/eval.py) — no runtime
+    log2 on either engine."""
+    from crawling_vectordb_llm_spark.operators.eval import (
+        dcg_gain_literals,
+        idcg_literals,
+    )
+
+    frag = _md5_embed_fragment(
+        "SELECT doc_id AS id, text AS txt FROM documents", "emb"
+    )
+    gains = ", ".join(
+        f"({r + 1}, CAST('{g}' AS DECIMAL(18,9)))"
+        for r, g in enumerate(dcg_gain_literals(k))
+    )
+    idcg_list = ", ".join(f"CAST('{v}' AS DECIMAL(18,9))" for v in idcg_literals(k))
+    return f"""
+WITH {frag}, vq AS (
+  SELECT id AS query_id, e AS qv FROM emb WHERE id < {n_queries}
+), vscored AS (
+  SELECT vq.query_id, c.id AS doc_id,
+         list_cosine_similarity(vq.qv, c.e) AS score
+  FROM vq CROSS JOIN emb c WHERE c.id <> vq.query_id
+), qrels AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rk
+    FROM vscored) WHERE rk <= {k}
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(22,6))) AS DOUBLE)
+           / COUNT(*) AS avgdl
+  FROM documents
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < {n_queries}
+), bpartial AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+              AS DECIMAL(18,9)) AS sc
+  FROM qterms q
+  JOIN tf ON tf.term = q.term AND tf.doc_id <> q.query_id
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+), bscored AS (
+  SELECT query_id, doc_id, ROUND(CAST(SUM(sc) AS DOUBLE), 6) AS score
+  FROM bpartial GROUP BY 1, 2
+), branks AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM bscored QUALIFY rk <= {k}
+), gains(rank, gain) AS (VALUES {gains}),
+n_rel AS (
+  SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY query_id
+), hits AS (
+  SELECT b.query_id, b.rk FROM branks b JOIN qrels r USING (query_id, doc_id)
+), agg AS (
+  SELECT h.query_id, COUNT(*) AS n_hits, MIN(h.rk) AS first_rank,
+         SUM(g.gain) AS dcg
+  FROM hits h JOIN gains g ON g.rank = h.rk GROUP BY h.query_id
+)
+SELECT n.query_id,
+       ROUND(COALESCE(a.n_hits, 0) / LEAST(n.n_rel, {k}), 6) AS recall_at_k,
+       ROUND(COALESCE(1.0 / a.first_rank, 0.0), 6) AS mrr,
+       ROUND(COALESCE(CAST(a.dcg AS DOUBLE), 0.0)
+             / CAST(list_extract([{idcg_list}],
+                                 LEAST(n.n_rel, {k})) AS DOUBLE), 6) AS ndcg
+FROM n_rel n LEFT JOIN agg a USING (query_id)
+"""
+
+
+@query("retrieval_eval_bm25", oracle=_retrieval_eval_oracle())
+def q_retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed IR evaluation (operators/eval.py): embedding-cosine
+    top-10 (self excluded) is the relevance ground truth, BM25 retrieval
+    from each query doc's own token set (self excluded) is the system
+    under test, and recall@10 / MRR@10 / nDCG@10 come out per query —
+    the metric layer every retriever in this engine (exact, IVF, PQ,
+    LSH, Hamming, hybrid) can be tuned against at corpus scale."""
+    from crawling_vectordb_llm_spark.operators.bm25 import bm25_scores
+    from crawling_vectordb_llm_spark.operators.eval import retrieval_metrics
+    from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+
+    n_queries, k = 15, 10
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    embed = make_embed_udf(dim=64)
+    emb = docs.select("doc_id", embed(F.col("text")).alias("v"))
+    q = F.broadcast(
+        emb.where(F.col("doc_id") < n_queries).select(
+            F.col("doc_id").alias("query_id"),
+            V.as_double_array("v").alias("qv"),
+        )
+    )
+    c = emb.select("doc_id", V.as_double_array("v").alias("cv"))
+    vscored = (
+        q.crossJoin(c)
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", V.cosine("qv", "cv").alias("score"))
+    )
+    qrels = grouped_topk(
+        vscored, ["query_id"], [F.desc("score"), F.asc("doc_id")], k
+    ).select("query_id", "doc_id")
+
+    qterms = (
+        docs.where(F.col("doc_id") < n_queries)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .distinct()
+    )
+    retrieved = grouped_topk(
+        bm25_scores(docs, qterms).where(F.col("doc_id") != F.col("query_id")),
+        ["query_id"],
+        [F.desc("score"), F.asc("doc_id")],
+        k,
+    )
+    return retrieval_metrics(retrieved, qrels, k)
