@@ -660,3 +660,151 @@ def q_lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY c_acctbal DESC, c_custkey LIMIT 3
         ) t
     """)
+
+
+_CORR_VARS = [
+    ("qty", "l_quantity"),
+    ("price", "l_extendedprice"),
+    ("disc", "l_discount"),
+    ("tax", "l_tax"),
+]
+
+
+@query(
+    "correlation_matrix",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s_disc,
+         CAST(SUM(CAST(l_tax AS DECIMAL(38,6))) AS DOUBLE) AS s_tax,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s_qty_qty,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s_price_price,
+         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s_disc_disc,
+         CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(38,6))) AS DOUBLE) AS s_tax_tax,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s_qty_price,
+         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s_qty_disc,
+         CAST(SUM(CAST(l_quantity * l_tax AS DECIMAL(38,6))) AS DOUBLE) AS s_qty_tax,
+         CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s_price_disc,
+         CAST(SUM(CAST(l_extendedprice * l_tax AS DECIMAL(38,6))) AS DOUBLE) AS s_price_tax,
+         CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(38,6))) AS DOUBLE) AS s_disc_tax
+  FROM lineitem
+), pairs AS (
+  SELECT 'qty' AS x_var, 'price' AS y_var, n, s_qty AS sx, s_price AS sy,
+         s_qty_qty AS sxx, s_price_price AS syy, s_qty_price AS sxy FROM m
+  UNION ALL SELECT 'qty', 'disc', n, s_qty, s_disc, s_qty_qty, s_disc_disc, s_qty_disc FROM m
+  UNION ALL SELECT 'qty', 'tax', n, s_qty, s_tax, s_qty_qty, s_tax_tax, s_qty_tax FROM m
+  UNION ALL SELECT 'price', 'disc', n, s_price, s_disc, s_price_price, s_disc_disc, s_price_disc FROM m
+  UNION ALL SELECT 'price', 'tax', n, s_price, s_tax, s_price_price, s_tax_tax, s_price_tax FROM m
+  UNION ALL SELECT 'disc', 'tax', n, s_disc, s_tax, s_disc_disc, s_tax_tax, s_disc_tax FROM m
+)
+SELECT x_var, y_var, CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+FROM pairs
+""",
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the lineitem measures in ONE
+    partial-aggregable pass: per-row products computed in double
+    (bit-identical across engines), rounded to exact DECIMAL(38,6), and
+    summed exactly — order-independent moments that make the correlation
+    formula engine-deterministic without trusting either engine's
+    built-in corr() float accumulation order.  The 6-pair matrix is a
+    stack() over the single 15-column aggregate row — the scan/shuffle
+    cost is one global aggregate regardless of pair count."""
+    l = _t(spark, sf_dir, "lineitem")
+
+    def dsum6(col):
+        return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+    cols = dict(_CORR_VARS)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for name, c in _CORR_VARS:
+        aggs.append(dsum6(F.col(c)).alias(f"s_{name}"))
+        aggs.append(dsum6(F.col(c) * F.col(c)).alias(f"s_{name}_{name}"))
+    for i, (nx, cx) in enumerate(_CORR_VARS):
+        for ny, cy in _CORR_VARS[i + 1 :]:
+            aggs.append(dsum6(F.col(cx) * F.col(cy)).alias(f"s_{nx}_{ny}"))
+    m = l.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{nx}', '{ny}', s_{nx}, s_{ny}, s_{nx}_{nx}, s_{ny}_{ny}, s_{nx}_{ny}"
+        for i, (nx, _) in enumerate(_CORR_VARS)
+        for ny, _ in _CORR_VARS[i + 1 :]
+    )
+    pairs = m.selectExpr(
+        "n",
+        f"stack(6, {stack_args}) AS (x_var, y_var, sx, sy, sxx, syy, sxy)",
+    )
+    return pairs.select(
+        "x_var",
+        "y_var",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr"),
+    )
+
+
+@query(
+    "group_ols_trend",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+""",
+)
+def q_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (extendedprice ~ quantity per
+    returnflag) by the normal equations over the same decimal-pinned
+    moment sums as correlation_matrix — distributed regression as ONE
+    groupBy aggregate, no ML library, no iterative solver.  Slope,
+    intercept and R² come out of exact moments with identical double
+    parenthesization on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+
+    def dsum6(col):
+        return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum6(x).alias("sx"),
+        dsum6(y).alias("sy"),
+        dsum6(x * x).alias("sxx"),
+        dsum6(y * y).alias("syy"),
+        dsum6(x * y).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round((num * num) / (denx * deny), 6).alias("r2"),
+    )
