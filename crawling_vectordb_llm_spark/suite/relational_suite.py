@@ -808,3 +808,89 @@ def q_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round((num * num) / (denx * deny), 6).alias("r2"),
     )
+
+
+@query(
+    "itemset_cooccurrence",
+    oracle="""
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM lines),
+part_f AS (SELECT l_partkey, COUNT(*) AS f FROM lines GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.n_both,
+       ROUND((p.n_both * n.n_orders) / (fa.f * fb.f), 6) AS lift
+FROM pairs p
+JOIN part_f fa ON fa.l_partkey = p.part_a
+JOIN part_f fb ON fb.l_partkey = p.part_b, n
+""",
+)
+def q_itemset_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — the frequent-itemset shape.
+    The oracle is the naive per-order self-join; the Spark side takes the
+    SCALE path instead: one shuffle folds each order into a sorted
+    basket array (bounded by basket size), ordered pairs come from array
+    exprs (no self-join, no second shuffle of line rows), and the
+    per-part frequency table broadcasts onto the surviving pairs.
+    lift = P(ab) / (P(a)·P(b)) with exact integer counts; the division
+    is one double op per output row, identical in both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    lines = l.select("l_orderkey", "l_partkey").distinct()
+    n_orders = lines.select(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    part_f = lines.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    baskets = lines.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pair = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("items"),
+                            i + 2,
+                            F.greatest(
+                                F.size("items") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    pairs = (
+        pair.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 2)
+    )
+    fa = part_f.select(
+        F.col("l_partkey").alias("part_a"), F.col("f").alias("fa")
+    )
+    fb = part_f.select(
+        F.col("l_partkey").alias("part_b"), F.col("f").alias("fb")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("n_orders"))
+                / (F.col("fa") * F.col("fb")),
+                6,
+            ).alias("lift"),
+        )
+    )
