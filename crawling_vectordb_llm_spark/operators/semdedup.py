@@ -71,6 +71,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 42,
     max_cluster: int = 100_000,
+    include_cell: bool = False,
 ) -> DataFrame:
     """Label every vector with its semantic-dedup verdict.
 
@@ -79,6 +80,12 @@ def semantic_dedup(
     is the cosine to the closest kept vector (>= tau), rounded to 6 dp
     for deterministic output.  Kept rows report -1.0 (no kept neighbor at
     or above tau by construction).
+
+    include_cell=True appends the `cell` string key the greedy election
+    actually ran in (centroid_id, or "centroid:sub" after an oversized
+    cluster's deterministic id-hash split) — the scope a soundness
+    re-verify must join within, since max_sim_kept is relative to the
+    kept set of the CELL, not the whole centroid.
     """
     assigned = assign_centroids(
         corpus, kmeans_centroids(corpus, n_clusters, vec_col=vec_col, seed=seed),
@@ -114,16 +121,17 @@ def semantic_dedup(
         if kept.shape[0] and (~keep).any():
             sims = mat[~keep] @ kept.T
             max_sim[~keep] = np.round(sims.max(axis=1), 6)
-        return pd.DataFrame(
-            {
-                id_col: pdf[id_col],
-                "centroid_id": pdf["centroid_id"].astype("int32"),
-                "keep": keep,
-                "max_sim_kept": max_sim,
-            }
-        )
+        out = {
+            id_col: pdf[id_col],
+            "centroid_id": pdf["centroid_id"].astype("int32"),
+            "keep": keep,
+            "max_sim_kept": max_sim,
+        }
+        if include_cell:
+            out["cell"] = key[0]
+        return pd.DataFrame(out)
 
-    return with_cell.groupBy("__cell").applyInPandas(
-        _prune,
-        schema=f"{id_col} {id_type}, centroid_id int, keep boolean, max_sim_kept double",
-    )
+    schema = f"{id_col} {id_type}, centroid_id int, keep boolean, max_sim_kept double"
+    if include_cell:
+        schema += ", cell string"
+    return with_cell.groupBy("__cell").applyInPandas(_prune, schema=schema)

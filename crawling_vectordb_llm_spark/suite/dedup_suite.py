@@ -603,7 +603,10 @@ def q_semantic_dedup_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
     but its SOUNDNESS contract is checkable row-by-row in Spark and the
     value hash pins every row to ok=TRUE:
 
-      * dropped rows must have a KEPT neighbor in the same cell whose
+      * dropped rows must have a KEPT neighbor in the same ELECTION CELL
+        (the `cell` key the operator itself ran the greedy pass in — the
+        sub-split scope, not the whole centroid, so the gate stays exact
+        even when an oversized cluster is id-hash split at scale) whose
         recomputed cosine is >= tau and equals the reported max_sim_kept
         to within one unit of the 6th decimal (the operator sums in numpy
         float64, the re-check in SQL zip_with float64 — a different
@@ -612,26 +615,28 @@ def q_semantic_dedup_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
       * kept rows must report the -1.0 sentinel;
       * the oracle's row count pins exactly-once coverage of the corpus.
 
-    The re-verify join is dropped x kept WITHIN a cell — the same O(cell²)
-    shape as the operator itself, so the gate scales wherever the operator
-    does."""
+    The re-verify join is dropped x kept WITHIN an election cell — the
+    same O(sub-cell²) shape as the operator itself, so the gate scales
+    wherever the operator does."""
     from crawling_vectordb_llm_spark.functions import vector as V
     from crawling_vectordb_llm_spark.operators.semdedup import semantic_dedup
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     tau = 0.4
-    verdicts = semantic_dedup(emb, tau=tau, n_clusters=8, seed=42)
+    verdicts = semantic_dedup(
+        emb, tau=tau, n_clusters=8, seed=42, include_cell=True
+    )
     with_vec = verdicts.join(emb.select("vec_id", "embedding"), "vec_id")
     kept = with_vec.where(F.col("keep")).select(
-        F.col("centroid_id").alias("k_cell"),
-        F.col("vec_id").alias("k_id"),
+        F.col("cell").alias("k_cell"),
         F.col("embedding").alias("k_vec"),
     )
     dropped = with_vec.where(~F.col("keep"))
-    # recompute every dropped row's best kept-neighbor cosine in its cell
+    # recompute every dropped row's best kept-neighbor cosine in its
+    # election cell (kept and dropped are disjoint partitions of the
+    # corpus, so the join can never self-match)
     best = (
-        dropped.join(kept, dropped["centroid_id"] == kept["k_cell"])
-        .where(F.col("k_id") != F.col("vec_id"))
+        dropped.join(kept, dropped["cell"] == kept["k_cell"])
         .groupBy("vec_id", "max_sim_kept")
         .agg(
             F.round(

@@ -719,7 +719,6 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dsum6(col):
         return F.sum(col.cast("decimal(38,6)")).cast("double")
 
-    cols = dict(_CORR_VARS)
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for name, c in _CORR_VARS:
         aggs.append(dsum6(F.col(c)).alias(f"s_{name}"))

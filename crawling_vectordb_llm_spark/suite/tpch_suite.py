@@ -913,7 +913,7 @@ WITH ps AS (
   FROM ps JOIN asia ON ps.l_suppkey = asia.s_suppkey GROUP BY l_partkey
 )
 SELECT l_partkey AS partkey, ROUND(value, 6) AS value
-FROM v WHERE value > 2.0 * (SELECT SUM(value) / COUNT(*) FROM v)
+FROM v WHERE value > 2.0 * (SELECT CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*) FROM v)
 """,
 )
 def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -955,8 +955,16 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value")
         )
     )
+    # the global mean must ALSO be decimal-pinned: the per-part values are
+    # exact 6-dp doubles, but summing them as raw doubles would make the
+    # threshold partition-order-dependent — a part landing within an ulp
+    # of 2x-mean could then flip in/out per run or per engine
     thresh = v.agg(
-        (2.0 * F.sum("value") / F.count("*")).alias("thresh")
+        (
+            2.0
+            * F.sum(F.col("value").cast("decimal(22,6)")).cast("double")
+            / F.count("*")
+        ).alias("thresh")
     )
     return (
         v.join(F.broadcast(thresh))

@@ -1152,11 +1152,19 @@ _GATE_ORACLE = (
 )
 
 
-def _exact_top10(emb: DataFrame, n_queries: int = 10) -> DataFrame:
-    queries = emb.where(F.col("vec_id") < n_queries).select(
+def _gate_queries(emb: DataFrame, n_queries: int = 10) -> DataFrame:
+    """THE query set every recall gate and its exact baseline share — a
+    single definition so the ANN side and the exact side can never
+    silently diverge if the selection changes."""
+    return emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return knn_join_numpy(queries, emb, k=10, corpus_id="vec_id")
+
+
+def _exact_top10(emb: DataFrame, n_queries: int = 10) -> DataFrame:
+    return knn_join_numpy(
+        _gate_queries(emb, n_queries), emb, k=10, corpus_id="vec_id"
+    )
 
 
 @query("ann_ivf_recall_gate", oracle=_GATE_ORACLE)
@@ -1167,10 +1175,7 @@ def q_ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawling_vectordb_llm_spark.operators.ivf import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    ann = ivf_topk(queries, emb, k=10, n_centroids=16, n_probe=8)
+    ann = ivf_topk(_gate_queries(emb), emb, k=10, n_centroids=16, n_probe=8)
     return _recall_gate(ann, _exact_top10(emb), n_queries=10, k=10, threshold=0.7)
 
 
@@ -1183,11 +1188,8 @@ def q_ann_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawling_vectordb_llm_spark.operators.pq import ivfpq_topk
 
     emb = _emb(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
     ann = ivfpq_topk(
-        queries, emb, k=10, n_centroids=16, n_probe=12, shortlist=256
+        _gate_queries(emb), emb, k=10, n_centroids=16, n_probe=12, shortlist=256
     )
     return _recall_gate(ann, _exact_top10(emb), n_queries=10, k=10, threshold=0.65)
 
@@ -1213,9 +1215,10 @@ def q_lsh_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketLength=0.5, numHashTables=6, seed=42,
     )
     model = lsh.fit(feats)
-    queries = feats.where(F.col("vec_id") < 10).withColumnRenamed(
-        "vec_id", "query_id"
-    )
+    queries = feats.join(
+        _gate_queries(emb).select("query_id"),
+        feats["vec_id"] == F.col("query_id"),
+    ).select("query_id", "features")
     joined = model.approxSimilarityJoin(
         queries, feats, threshold=1.2, distCol="dist"
     ).select(
