@@ -893,3 +893,40 @@ def q_itemset_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "skew_profile",
+    oracle="""
+WITH g AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1)
+SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS total_rows,
+       MAX(c) AS max_group,
+       ROUND(quantile_cont(c, 0.5), 6) AS p50,
+       ROUND(quantile_cont(c, 0.9), 6) AS p90,
+       ROUND(quantile_cont(c, 0.99), 6) AS p99,
+       ROUND(MAX(c) / (CAST(SUM(c) AS DOUBLE) / COUNT(*)), 6) AS skew_ratio
+FROM g
+""",
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostics — the pre-flight check a
+    100 TB job runs BEFORE shuffling on a key: per-key group sizes in one
+    shuffle, then exact size quantiles, the max group, and the
+    max-to-mean skew ratio in a second (k-row) aggregate.  A skew_ratio
+    in the hundreds says "salt this key or let AQE split it" before the
+    job discovers it the hard way.  Exact linear-interpolation
+    percentiles (Spark `percentile` == DuckDB `quantile_cont` on the
+    integer group sizes — interpolation arithmetic is identical)."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("max_group"),
+        F.round(F.expr("percentile(c, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(c, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99"),
+        F.round(
+            F.max("c") / (F.sum("c").cast("double") / F.count(F.lit(1))), 6
+        ).alias("skew_ratio"),
+    )
