@@ -930,3 +930,53 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c") / (F.sum("c").cast("double") / F.count(F.lit(1))), 6
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "fuzzy_name_join",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (entity resolution's core primitive) with
+    LOSSLESS length-band blocking: levenshtein <= 2 forces a length
+    difference <= 2, so each distinct name joins only the three
+    width-3 length buckets that can possibly hold a match (one side
+    explodes to bucket-1/bucket/bucket+1; the other keys its own bucket)
+    — candidate volume is bounded by the per-bucket name count instead
+    of n², and no qualifying pair can be missed.  The oracle is the
+    naive O(n²) theta join; hash-matching it proves the blocking exact.
+    Both engines use the same classic Wagner-Fischer levenshtein."""
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    width = 3
+    bucket = (F.length("p_name") / width).cast("int")
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
+    )
+    b = names.select(F.col("p_name").alias("name_b"), bucket.alias("bucket"))
+    return (
+        a.join(b, "bucket")
+        .where(
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            )
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .where(F.col("dist") <= 2)
+        # no dedup needed: name_b carries exactly ONE bucket key, so a
+        # pair can match in at most one of name_a's three bands
+    )

@@ -799,3 +799,47 @@ def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classify(
         spark.read.parquet(table_path(sf_dir, "documents")), weights, bias, dim
     )
+
+
+@query(
+    "term_postings_index",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+)
+SELECT term,
+       CAST(COUNT(*) AS INT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       array_to_string(list(doc_id ORDER BY doc_id)[:8], '|') AS posting_head
+FROM tf GROUP BY term HAVING COUNT(*) >= 25
+""",
+)
+def q_term_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index materialization — the index ARTIFACT behind the
+    BM25/hybrid path made first-class: per term, document frequency,
+    collection frequency, and the sorted posting-list head (rendered as
+    a string — the flat-value form the driver's comparator hashes).  One shuffle
+    on (term, doc) for tf, one on term folding postings into a sorted
+    array (bounded here to the 8-entry head so the demo output stays
+    narrow; the full list is the same expression without the slice).  At
+    scale this table IS the searchable index — written bucketed by term,
+    a keyword lookup is one pruned scan."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.concat_ws(
+                "|",
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 8),
+            ).alias("posting_head"),
+        )
+        .where(F.col("df") >= 25)
+    )
