@@ -582,3 +582,58 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
         )
     )
+
+
+@query(
+    "funnel_conversion_time",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.s_ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), gaps AS (
+  SELECT s.user_id, ROUND(epoch(p.p_ts) - epoch(s.s_ts), 6) AS gap_s
+  FROM s JOIN p ON p.user_id = s.user_id
+)
+SELECT COUNT(*) AS n_converted,
+       ROUND(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+       ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+       ROUND(MIN(gap_s), 6) AS min_s,
+       ROUND(MAX(gap_s), 6) AS max_s
+FROM gaps
+""",
+)
+def q_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the signup→purchase funnel:
+    first-signup to first-subsequent-purchase gap per user, then exact
+    interpolated quantiles over the (tiny) per-user gap relation — the
+    composite of the funnel join pattern (event_funnel) and the exact
+    percentile machinery, one (user_id, ts) shuffle per stage."""
+    ev = read_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    gaps = s.join(p, "user_id").select(
+        F.round(
+            F.col("p_ts").cast("double") - F.col("s_ts").cast("double"), 6
+        ).alias("gap_s")
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.min("gap_s"), 6).alias("min_s"),
+        F.round(F.max("gap_s"), 6).alias("max_s"),
+    )
