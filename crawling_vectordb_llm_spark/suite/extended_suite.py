@@ -578,3 +578,31 @@ def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).alias("version"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "multimodal_selfmatch_gate",
+    oracle="SELECT doc_id, TRUE AS self_top1 FROM documents WHERE doc_id < 50",
+)
+def q_multimodal_selfmatch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode→featurize→search pipeline graduated to an
+    oracle gate (the features themselves are seeded-RNG byte histograms
+    DuckDB cannot replay): every document queried against the full
+    feature corpus must retrieve ITSELF at rank 1 — cosine(self, self)
+    is exactly 1.0 and the id tiebreak only loses if another payload had
+    a bit-identical histogram, so the hash pins decode determinism,
+    feature stability, and kNN ordering in one boolean per doc."""
+    from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    feats = MM.extract_features(MM.synth_media(docs))
+    queries = feats.where(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("query_id"), F.col("features").alias("query_vec")
+    )
+    top1 = knn_join_numpy(
+        queries, feats, k=1, corpus_id="doc_id", corpus_vec="features"
+    )
+    return top1.select(
+        F.col("query_id").alias("doc_id"),
+        (F.col("doc_id") == F.col("query_id")).alias("self_top1"),
+    )
