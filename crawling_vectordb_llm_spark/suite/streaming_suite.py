@@ -637,3 +637,134 @@ def q_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("gap_s"), 6).alias("min_s"),
         F.round(F.max("gap_s"), 6).alias("max_s"),
     )
+
+
+def _decay_literals(rate: float = 0.95, max_age: int = 40) -> list[str]:
+    """rate^age as 12-dp literals for age 1..max_age — baked from Python
+    so neither engine computes pow() at runtime (the eval.py DCG-literal
+    pattern)."""
+    return [f"{rate ** a:.12f}" for a in range(1, max_age + 1)]
+
+
+@query(
+    "decayed_engagement_score",
+    oracle=f"""
+WITH decay(vals) AS (
+  SELECT [{", ".join(f"CAST('{v}' AS DECIMAL(14,12))" for v in _decay_literals())}]
+), aged AS (
+  SELECT user_id,
+         date_diff('day', CAST(date_trunc('day', ts) AS DATE),
+                   DATE '2024-02-01') AS age_days,
+         value
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+)
+SELECT a.user_id,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(a.value AS DECIMAL(22,6)) * d.vals[a.age_days])
+                  AS DOUBLE), 6) AS score
+FROM aged a, decay d
+GROUP BY a.user_id
+""",
+)
+def q_decayed_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement (the feature-store staple): each
+    engagement event contributes value · 0.95^age_days toward its user's
+    score.  The decay table is 40 baked 12-dp DECIMAL(14,12) literals
+    indexed by age — no runtime pow() on either engine — and each term
+    is the EXACT decimal product value(22,6) × decay(14,12) (precision
+    37, no truncation, no per-term float rounding at all: a round-at-6dp
+    variant hit a genuine half-even knife edge on one fixture user), so
+    the per-user sum is exact and engine-identical before the single
+    final 6-dp round.  Map-side expression + ONE shuffle on user_id; at
+    scale the literal array rides the closure, costing nothing."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    decay = F.array(
+        *[F.expr(f"CAST('{v}' AS DECIMAL(14,12))") for v in _decay_literals()]
+    )
+    age = F.datediff(
+        F.lit("2024-02-01").cast("date"), F.date_trunc("day", "ts").cast("date")
+    )
+    term = F.col("value").cast("decimal(22,6)") * F.element_at(decay, age)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(term).cast("double"), 6).alias("score"),
+    )
+
+
+@query(
+    "ab_test_zscore",
+    oracle="""
+WITH assigned AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS arm,
+         value
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss
+  FROM assigned GROUP BY arm
+), w AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+         MAX(CASE WHEN arm = 'A' THEN s END) AS sa,
+         MAX(CASE WHEN arm = 'A' THEN ss END) AS ssa,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+         MAX(CASE WHEN arm = 'B' THEN s END) AS sb,
+         MAX(CASE WHEN arm = 'B' THEN ss END) AS ssb
+  FROM m
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(sa / na, 6) AS mean_a, ROUND(sb / nb, 6) AS mean_b,
+       ROUND((sa / na - sb / nb)
+             / sqrt((ssa / na - (sa / na) * (sa / na)) / na
+                    + (ssb / nb - (sb / nb) * (sb / nb)) / nb), 6) AS zscore
+FROM w
+""",
+)
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test over a deterministic md5 user split (the
+    content-hash assignment of hash_split_train_val applied to
+    experimentation): per-arm count/sum/sum-of-squares are decimal-pinned
+    in one aggregation, then mean difference over pooled standard error
+    with identical double parenthesization on both engines.  The whole
+    analysis is one shuffle by arm (2 groups) — experiment readout at
+    any event volume."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    m = ev.groupBy(arm.alias("arm")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("arm") == "A", F.col("ss"))).alias("ssa"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("arm") == "B", F.col("ss"))).alias("ssb"),
+    )
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    return w.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(
+            (ma - mb)
+            / F.sqrt(
+                (F.col("ssa") / F.col("na") - ma * ma) / F.col("na")
+                + (F.col("ssb") / F.col("nb") - mb * mb) / F.col("nb")
+            ),
+            6,
+        ).alias("zscore"),
+    )
