@@ -587,15 +587,18 @@ def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_selfmatch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal decode→featurize→search pipeline graduated to an
     oracle gate (the features themselves are seeded-RNG byte histograms
-    DuckDB cannot replay): every document queried against the full
-    feature corpus must retrieve ITSELF at rank 1 — cosine(self, self)
-    is exactly 1.0 and the id tiebreak only loses if another payload had
-    a bit-identical histogram, so the hash pins decode determinism,
-    feature stability, and kNN ordering in one boolean per doc."""
+    DuckDB cannot replay): each of the 50 query docs, searched against a
+    200-doc feature corpus (the same subset multimodal_features_knn
+    exercises), must retrieve ITSELF at rank 1 — cosine(self, self) is
+    exactly 1.0 and the id tiebreak only loses if another payload had a
+    bit-identical histogram, so the hash pins decode determinism,
+    feature stability, and kNN ordering in one boolean per doc.  The
+    featurize pipeline is localCheckpointed so query and corpus sides
+    share ONE execution instead of re-synthesizing per consumer."""
     from crawling_vectordb_llm_spark.operators.knn import knn_join_numpy
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    feats = MM.extract_features(MM.synth_media(docs))
+    feats = MM.extract_features(MM.synth_media(docs)).localCheckpoint()
     queries = feats.where(F.col("doc_id") < 50).select(
         F.col("doc_id").alias("query_id"), F.col("features").alias("query_vec")
     )

@@ -657,6 +657,8 @@ WITH decay(vals) AS (
                    DATE '2024-02-01') AS age_days,
          value
   FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    AND date_diff('day', CAST(date_trunc('day', ts) AS DATE),
+                  DATE '2024-02-01') BETWEEN 1 AND 40
 )
 SELECT a.user_id,
        COUNT(*) AS n_events,
@@ -675,16 +677,25 @@ def q_decayed_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     37, no truncation, no per-term float rounding at all: a round-at-6dp
     variant hit a genuine half-even knife edge on one fixture user), so
     the per-user sum is exact and engine-identical before the single
-    final 6-dp round.  Map-side expression + ONE shuffle on user_id; at
-    scale the literal array rides the closure, costing nothing."""
+    final 6-dp round.  Events outside the 1..40-day decay horizon are
+    filtered out as part of the operator's contract (guarding the array
+    index on both engines).  Map-side expression + ONE shuffle on
+    user_id; at scale the literal array rides the closure, costing
+    nothing."""
+    age = F.datediff(
+        F.lit("2024-02-01").cast("date"), F.date_trunc("day", "ts").cast("date")
+    )
+    # the decay horizon IS the semantics: events outside age 1..40 score
+    # zero and are excluded up front — without this guard an out-of-window
+    # event would crash Spark's ANSI element_at while DuckDB silently
+    # NULLs (and a post-anchor event would index from the array END on
+    # both engines — silently wrong)
     ev = read_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "view", "purchase")
+        & age.between(1, 40)
     )
     decay = F.array(
         *[F.expr(f"CAST('{v}' AS DECIMAL(14,12))") for v in _decay_literals()]
-    )
-    age = F.datediff(
-        F.lit("2024-02-01").cast("date"), F.date_trunc("day", "ts").cast("date")
     )
     term = F.col("value").cast("decimal(22,6)") * F.element_at(decay, age)
     return ev.groupBy("user_id").agg(
@@ -718,8 +729,9 @@ WITH assigned AS (
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        ROUND(sa / na, 6) AS mean_a, ROUND(sb / nb, 6) AS mean_b,
        ROUND((sa / na - sb / nb)
-             / sqrt((ssa / na - (sa / na) * (sa / na)) / na
-                    + (ssb / nb - (sb / nb) * (sb / nb)) / nb), 6) AS zscore
+             / sqrt(GREATEST(ssa / na - (sa / na) * (sa / na), 1e-12) / na
+                    + GREATEST(ssb / nb - (sb / nb) * (sb / nb), 1e-12) / nb),
+             6) AS zscore
 FROM w
 """,
 )
@@ -762,8 +774,18 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (ma - mb)
             / F.sqrt(
-                (F.col("ssa") / F.col("na") - ma * ma) / F.col("na")
-                + (F.col("ssb") / F.col("nb") - mb * mb) / F.col("nb")
+                # 1e-12 floor: the 6-dp decimal pinning can push a tiny
+                # or near-constant arm's variance a hair NEGATIVE, where
+                # DuckDB's sqrt errors but Spark returns NaN — the floor
+                # keeps both engines finite and identical
+                F.greatest(
+                    F.col("ssa") / F.col("na") - ma * ma, F.lit(1e-12)
+                )
+                / F.col("na")
+                + F.greatest(
+                    F.col("ssb") / F.col("nb") - mb * mb, F.lit(1e-12)
+                )
+                / F.col("nb")
             ),
             6,
         ).alias("zscore"),
