@@ -168,12 +168,20 @@ def run_tws_user_totals(spark: SparkSession, parquet_path: str, max_files: int =
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
+        import os
+
         schema = spark.read.parquet(parquet_path).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", str(max_files))
-            .parquet(parquet_path)
+        reader = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", str(max_files)
         )
+        if os.path.isfile(parquet_path):
+            # file streams need a DIRECTORY; pin a single-file fixture via
+            # glob filter (same handling as run_streaming_user_totals)
+            reader = reader.option(
+                "pathGlobFilter", os.path.basename(parquet_path)
+            )
+            parquet_path = os.path.dirname(parquet_path)
+        stream = reader.parquet(parquet_path)
         out = (
             stream.select("user_id", "value")
             .groupBy("user_id")

@@ -314,3 +314,40 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("k_sum"),
         )
     )
+
+
+@query(
+    "streaming_tws_totals",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def q_streaming_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's transformWithStateInPandas (typed value state + RocksDB
+    state store — the arbitrary-state API succeeding
+    applyInPandasWithState) wired into the correctness gate: per-user
+    running totals accumulated in integer micro-units, drained with
+    availableNow, final emission per key reduced by max-n.  Exactly the
+    streaming_stateful_totals contract on the newer API, so the same
+    batch-aggregate oracle pins it — the state server needs
+    google.protobuf, satisfied by the vendored runtime (vendor/) when no
+    installed copy exists."""
+    from pyspark.sql import Window
+
+    from crawling_vectordb_llm_spark.streaming.stateful import (
+        run_tws_user_totals,
+    )
+
+    sink = run_tws_user_totals(spark, table_path(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+    )
