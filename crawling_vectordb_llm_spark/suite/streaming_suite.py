@@ -790,3 +790,73 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zscore"),
     )
+
+
+@query(
+    "session_path_patterns",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY 1, 2
+), agg AS (
+  SELECT path, COUNT(*) AS n_sessions,
+         path LIKE '%view>click>purchase%' AS has_funnel
+  FROM paths GROUP BY path
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rk FROM agg
+)
+SELECT path, n_sessions, has_funnel, CAST(rk AS INT) AS rank
+FROM ranked WHERE rk <= 20
+""",
+)
+def q_session_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern analytics (the MATCH_RECOGNIZE shape): events
+    sessionize with the same lag-gap + running-sum machinery as
+    `sessionize`, each session folds to its ordered event-type PATH
+    string, and the top-20 paths are ranked with a contiguous
+    view>click>purchase funnel flag.  Ordering inside a path is pinned
+    by (ts, event_id) on both engines; the top-20 is a WindowGroupLimit,
+    not a full sort."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    s = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("is_new").over(run).cast("bigint"))
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+    ).withColumn(
+        "has_funnel", F.col("path").contains("view>click>purchase")
+    )
+    rw = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        agg.withColumn("rank", F.row_number().over(rw).cast("int"))
+        .where(F.col("rank") <= 20)
+        .select("path", "n_sessions", "has_funnel", "rank")
+    )
