@@ -980,3 +980,61 @@ def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no dedup needed: name_b carries exactly ONE bucket key, so a
         # pair can match in at most one of name_a's three bands
     )
+
+
+@query(
+    "mad_outlier_flags",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY 1
+), joined AS (
+  SELECT o.o_orderpriority, o.o_totalprice, m.med
+  FROM orders o JOIN med m USING (o_orderpriority)
+), mad AS (
+  SELECT o_orderpriority,
+         quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+  FROM joined GROUP BY 1
+)
+SELECT j.o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(ANY_VALUE(j.med), 6) AS median_price,
+       ROUND(ANY_VALUE(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN abs(j.o_totalprice - j.med) > 1.5 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM joined j JOIN mad m USING (o_orderpriority)
+GROUP BY 1
+""",
+)
+def q_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — the
+    mean/stddev-free screen that survives the heavy tails a z-score
+    chokes on.  Three aggregates on the same group key (median, then MAD
+    of deviations, then outlier counts), each an exact interpolated
+    percentile; the k-row median/MAD tables broadcast back onto the fact
+    scan, so the whole screen is group-key shuffles only.  The 1.5-MAD
+    fence is deliberately tight so the fixture yields non-trivial
+    outlier counts (3-MAD flags nothing on its uniform prices)."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    joined = o.join(F.broadcast(med), "o_orderpriority")
+    mad = joined.groupBy("o_orderpriority").agg(
+        F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad")
+    )
+    return (
+        joined.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.first("med"), 6).alias("median_price"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("o_totalprice") - F.col("med"))
+                    > 1.5 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
