@@ -860,3 +860,50 @@ def q_session_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .select("path", "n_sessions", "has_funnel", "rank")
     )
+
+
+@query(
+    "events_multi_grain_rollup",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         value
+  FROM events
+)
+SELECT event_type, grain, bucket, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6) AS total
+FROM (
+  SELECT event_type, 'week' AS grain, wk AS bucket, value FROM g
+  UNION ALL
+  SELECT event_type, 'day' AS grain, day AS bucket, value FROM g
+)
+GROUP BY 1, 2, 3
+""",
+)
+def q_events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (the hypertable continuous-aggregate
+    shape): one scan feeds day- and week-grain aggregates via GROUPING
+    SETS — the raw events shuffle ONCE carrying both bucket keys, not
+    once per grain, and each grain's groups combine map-side.  The
+    oracle computes the same result as an explicit two-grain union."""
+    ev = read_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("wk"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    g.createOrReplaceTempView("__multi_grain_events")
+    out = spark.sql("""
+        SELECT event_type,
+               CASE WHEN day IS NULL THEN 'week' ELSE 'day' END AS grain,
+               COALESCE(day, wk) AS bucket,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6)
+                 AS total
+        FROM __multi_grain_events
+        GROUP BY GROUPING SETS ((event_type, wk), (event_type, day, wk))
+    """)
+    return out

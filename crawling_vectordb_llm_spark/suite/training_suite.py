@@ -1050,3 +1050,105 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best
+
+
+@query(
+    "budget_water_fill",
+    oracle="""
+WITH cap AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT SUM(tokens) * 0.9 AS budget FROM cap),
+ordered AS (
+  SELECT source, tokens,
+         SUM(tokens) OVER (ORDER BY tokens, source
+                           ROWS UNBOUNDED PRECEDING) AS prefix,
+         row_number() OVER (ORDER BY tokens, source) AS rn,
+         COUNT(*) OVER () AS k
+  FROM cap
+), lv AS (
+  SELECT o.*, t.budget,
+         (t.budget - (o.prefix - o.tokens)) / (o.k - o.rn + 1)
+           AS level_if_cut_here
+  FROM ordered o, tot t
+), cut AS (
+  SELECT MIN(rn) AS cut_rn FROM lv WHERE tokens > level_if_cut_here
+)
+SELECT l.source, CAST(l.tokens AS BIGINT) AS capacity,
+       ROUND(CASE WHEN c.cut_rn IS NULL OR l.rn < c.cut_rn THEN l.tokens
+                  ELSE (SELECT level_if_cut_here FROM lv
+                        WHERE rn = c.cut_rn) END, 6) AS alloc,
+       (c.cut_rn IS NOT NULL AND l.rn >= c.cut_rn) AS capped
+FROM lv l, cut c
+""",
+)
+def q_budget_water_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation — the data-mixture primitive
+    behind "give every domain as much as possible, capped by a global
+    budget": sources below the water level keep their full capacity,
+    larger sources are clipped to a common level chosen so allocations
+    sum exactly to the budget.  The classic iterative algorithm becomes
+    ONE window pass: sort sources by capacity, prefix-sum, compute each
+    prefix's would-be level, and the cut is the first row whose capacity
+    exceeds its level — O(k log k) on k SOURCES (a tiny relation at any
+    corpus scale; the only big-data touch is the per-source token
+    aggregate).  Prefix sums accumulate in the same sorted order on both
+    engines, so the level arithmetic is engine-identical."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    cap = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("tokens")
+    )
+    tot = cap.agg((F.sum("tokens") * 0.9).alias("budget"))
+    w = Window.orderBy("tokens", "source")
+    ordered = (
+        cap.withColumn(
+            "prefix",
+            F.sum("tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("k", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    lv = ordered.crossJoin(F.broadcast(tot)).withColumn(
+        "level_if_cut_here",
+        (F.col("budget") - (F.col("prefix") - F.col("tokens")))
+        / (F.col("k") - F.col("rn") + 1),
+    )
+    cut = lv.where(F.col("tokens") > F.col("level_if_cut_here")).agg(
+        F.min("rn").alias("cut_rn")
+    )
+    cut_level = (
+        lv.join(F.broadcast(cut), F.col("rn") == F.col("cut_rn"))
+        .select(F.col("level_if_cut_here").alias("cut_level"))
+    )
+    return (
+        lv.crossJoin(F.broadcast(cut))
+        .crossJoin(
+            F.broadcast(
+                cut_level.unionByName(
+                    # budget >= total capacity -> no cut row; keep the
+                    # cross join non-empty with a null level
+                    lv.sparkSession.range(1).select(
+                        F.lit(None).cast("double").alias("cut_level")
+                    )
+                ).agg(F.min("cut_level").alias("cut_level"))
+            )
+        )
+        .select(
+            "source",
+            F.col("tokens").cast("bigint").alias("capacity"),
+            F.round(
+                F.when(
+                    F.col("cut_rn").isNull() | (F.col("rn") < F.col("cut_rn")),
+                    F.col("tokens"),
+                ).otherwise(F.col("cut_level")),
+                6,
+            ).alias("alloc"),
+            (
+                F.col("cut_rn").isNotNull() & (F.col("rn") >= F.col("cut_rn"))
+            ).alias("capped"),
+        )
+    )
