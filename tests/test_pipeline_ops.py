@@ -475,3 +475,33 @@ def test_selector_stdlib_engine_malformed_html_recovery():
     assert st('<p id="kid">x</p>', "#k") is None
     # empty / None html
     assert st("", "div.x") is None
+
+
+def test_budget_water_fill_edges(spark, tmp_path):
+    """Water-fill edge cases the fixture can't hit: budget above total
+    capacity (everyone fully funded, no caps) and the allocation-sums-
+    to-budget invariant under a binding budget."""
+    import pyspark.sql.functions as F
+
+    from crawling_vectordb_llm_spark.suite.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}", "tok " * (10 * (i % 4 + 1))) for i in range(40)],
+        ["doc_id", "source", "text"],
+    ).select("doc_id", "source", F.trim("text").alias("text"))
+    sf_dir = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    out = QUERIES["budget_water_fill"](spark, sf_dir).collect()
+    total_capacity = sum(r["capacity"] for r in out)
+    total_alloc = sum(r["alloc"] for r in out)
+    # 0.9 budget binds: sum of allocations == 0.9 * capacity (to rounding)
+    assert abs(total_alloc - 0.9 * total_capacity) < 1e-3
+    # capped rows are exactly the ones allocated below capacity
+    for r in out:
+        assert r["capped"] == (r["alloc"] < r["capacity"]) or (
+            abs(r["alloc"] - r["capacity"]) < 1e-9
+        )
+    # monotone: a larger-capacity source never gets LESS than a smaller one
+    by_cap = sorted(out, key=lambda r: r["capacity"])
+    allocs = [r["alloc"] for r in by_cap]
+    assert all(b >= a - 1e-9 for a, b in zip(allocs, allocs[1:]))
