@@ -843,3 +843,68 @@ def q_term_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 25)
     )
+
+
+@query(
+    "compression_ratio_soundness",
+    oracle="""
+SELECT COUNT(*) AS n_docs, TRUE AS bounds_ok, TRUE AS separates_repetition
+FROM documents
+""",
+)
+def q_compression_ratio_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zlib quality signal graduated to an oracle gate (the ratio
+    itself has no SQL analog): the value hash pins (1) per-doc BOUNDS —
+    every ratio positive and under zlib's worst-case envelope
+    1 + (12 + n/1000)/n (stored-block expansion plus the fixed ~11-byte
+    header, which dominates on the fixture's shortest ~47-char docs) —
+    and (2) the signal's REASON TO EXIST: docs
+    in the most-repetitive quartile by distinct-token fraction (a pure
+    SQL feature) must compress strictly better ON AVERAGE than the
+    least-repetitive quartile.  Aggregate-level, so fixture-robust; a
+    broken kernel (wrong level, truncated input, swapped columns) flips
+    a boolean and fails the hash."""
+    d = _docs(spark, sf_dir)
+    ratios = d.select("doc_id", "text").mapInPandas(
+        compression_ratio_kernel(), schema="doc_id long, n_chars long, ratio_e6 long"
+    )
+    toks = F.split("text", " ")
+    rep = d.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))).alias(
+            "distinct_frac"
+        ),
+    )
+    joined = ratios.join(rep, "doc_id")
+    quartiled = joined.withColumn(
+        "q", F.ntile(4).over(__import__("pyspark.sql", fromlist=["Window"]).Window.orderBy("distinct_frac", "doc_id"))
+    )
+    means = quartiled.groupBy("q").agg(F.avg("ratio_e6").alias("mean_ratio"))
+    rep_mean = means.where(F.col("q") == 1).select(
+        F.col("mean_ratio").alias("rep_mean")
+    )
+    nat_mean = means.where(F.col("q") == 4).select(
+        F.col("mean_ratio").alias("nat_mean")
+    )
+    within_envelope = (
+        (F.col("ratio_e6") > 0)
+        & (
+            F.col("ratio_e6")
+            <= 1_001_000 + (12_000_000 / F.col("n_chars")).cast("long")
+        )
+    ).cast("int")
+    bounds = joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.min(within_envelope) == 1).alias("bounds_ok"),
+    )
+    return (
+        bounds.crossJoin(F.broadcast(rep_mean))
+        .crossJoin(F.broadcast(nat_mean))
+        .select(
+            "n_docs",
+            "bounds_ok",
+            (F.col("rep_mean") < F.col("nat_mean")).alias(
+                "separates_repetition"
+            ),
+        )
+    )
