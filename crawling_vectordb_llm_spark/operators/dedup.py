@@ -662,15 +662,31 @@ def duplicate_span_excise(
     occurrences too, so a doc that plagiarizes itself is trimmed to one
     copy.  Position packs into doc_id * pos_pack + pos; pos_pack need
     only exceed the max token count per document (1e6 ~ a 4 MB document
-    at avg 4 chars/token, far above the P4/P9 truncation caps upstream)."""
+    at avg 4 chars/token, far above the P4/P9 truncation caps upstream).
+    The packing additionally requires NON-NEGATIVE ids — a negative
+    doc_id would invert the (doc, pos) order inside the packed min and
+    collide keys across documents — so both bounds are enforced inline
+    on the packed key (raise_error on violation, ~one branch per
+    occurrence, not a separate validation pass over the corpus)."""
     toks = F.split(F.col(text_col), " ")
     occ = docs.select(
         F.col(id_col),
         F.posexplode(positional_word_shingles(text_col, n)).alias("pos", "gram"),
     )
-    packed = occ.select(
-        "gram", (F.col(id_col) * pos_pack + F.col("pos")).alias("okey")
+    # guard lives inside the key expression so column pruning can never
+    # drop it: invalid ids/positions error the job instead of silently
+    # electing a wrong owner (ADVICE r3)
+    okey_ok = (F.col(id_col) >= 0) & (F.col("pos") < pos_pack)
+    okey = F.when(okey_ok, F.col(id_col) * pos_pack + F.col("pos")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "duplicate_span_excise: requires 0 <= %s and token pos < "
+                "pos_pack=%d (got id=%s, pos=%s)",
+                F.lit(id_col), F.lit(pos_pack), F.col(id_col), F.col("pos"),
+            )
+        )
     )
+    packed = occ.select("gram", okey.alias("okey"))
     dup = (
         packed.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occ"), F.min("okey").alias("owner_key"))

@@ -50,22 +50,41 @@ def bounded_random_sample(
     partition order, ADVICE r2), then trim to sample_limit on the driver
     after a seeded shuffle.  Seeded → deterministic per layout.
 
+    The returned rows are SORTED by value before handing them to the
+    trainer (ADVICE r3): float k-means/codebook fits are
+    accumulation-order-sensitive, so pinning the row order makes every
+    downstream fit bit-reproducible for a given sample SET even if
+    Spark's collect delivers partitions in a different order run to run.
+    Sorting ≤sample_limit (200k) rows on the driver is milliseconds next
+    to the fit itself.
+
     Cost note: corpora at or under sample_limit (every training set is,
     by definition of the limit) pay exactly ONE collect — the limit+1
     probe detects that everything fit and no count/sample jobs run.  Only
     a genuinely larger corpus pays the count + sampled second pass."""
     import random
 
+    def _pinned(rows: list) -> list:
+        rows.sort(
+            key=lambda r: tuple(
+                tuple(v) if isinstance(v, (list, tuple)) else v for v in r
+            )
+        )
+        return rows
+
     rows = df.select(*cols).limit(sample_limit + 1).collect()
     if len(rows) <= sample_limit:
-        return rows
+        return _pinned(rows)
     n = df.count()
     fraction = min(1.0, 1.2 * sample_limit / n)
     sampled = df.select(*cols).sample(fraction=fraction, seed=seed).collect()
     if len(sampled) <= sample_limit:
-        return sampled
+        return _pinned(sampled)
+    # pin before the seeded shuffle so the trimmed SUBSET is also
+    # independent of collect order, not just the final row order
+    _pinned(sampled)
     random.Random(seed).shuffle(sampled)
-    return sampled[:sample_limit]
+    return _pinned(sampled[:sample_limit])
 
 
 def kmeans_centroids(

@@ -727,14 +727,21 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for ny, cy in _CORR_VARS[i + 1 :]:
             aggs.append(dsum6(F.col(cx) * F.col(cy)).alias(f"s_{nx}_{ny}"))
     m = l.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{nx}', '{ny}', s_{nx}, s_{ny}, s_{nx}_{nx}, s_{ny}_{ny}, s_{nx}_{ny}"
+    pair_names = [
+        (nx, ny)
         for i, (nx, _) in enumerate(_CORR_VARS)
         for ny, _ in _CORR_VARS[i + 1 :]
+    ]
+    stack_args = ", ".join(
+        f"'{nx}', '{ny}', s_{nx}, s_{ny}, s_{nx}_{nx}, s_{ny}_{ny}, s_{nx}_{ny}"
+        for nx, ny in pair_names
     )
+    # pair count derived from _CORR_VARS (k*(k-1)/2) so adding a variable
+    # can never desynchronize the stack row count from its args (ADVICE r3)
     pairs = m.selectExpr(
         "n",
-        f"stack(6, {stack_args}) AS (x_var, y_var, sx, sy, sxx, syy, sxy)",
+        f"stack({len(pair_names)}, {stack_args})"
+        " AS (x_var, y_var, sx, sy, sxx, syy, sxy)",
     )
     return pairs.select(
         "x_var",

@@ -887,7 +887,10 @@ def q_events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape): one scan feeds day- and week-grain aggregates via GROUPING
     SETS — the raw events shuffle ONCE carrying both bucket keys, not
     once per grain, and each grain's groups combine map-side.  The
-    oracle computes the same result as an explicit two-grain union."""
+    oracle computes the same result as an explicit two-grain union.
+    The grain is identified with GROUPING(day) — the grouping-id bit,
+    not a data-value NULL test — so a row with a NULL ts (NULL day
+    bucket) cannot masquerade as a week-grain group (ADVICE r3)."""
     ev = read_table(spark, sf_dir, "events")
     g = ev.select(
         "event_type",
@@ -898,8 +901,8 @@ def q_events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.createOrReplaceTempView("__multi_grain_events")
     out = spark.sql("""
         SELECT event_type,
-               CASE WHEN day IS NULL THEN 'week' ELSE 'day' END AS grain,
-               COALESCE(day, wk) AS bucket,
+               CASE WHEN GROUPING(day) = 1 THEN 'week' ELSE 'day' END AS grain,
+               CASE WHEN GROUPING(day) = 1 THEN wk ELSE day END AS bucket,
                COUNT(*) AS n,
                ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6)
                  AS total

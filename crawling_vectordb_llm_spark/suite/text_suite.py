@@ -861,9 +861,13 @@ def q_compression_ratio_soundness(spark: SparkSession, sf_dir: str) -> DataFrame
     and (2) the signal's REASON TO EXIST: docs
     in the most-repetitive quartile by distinct-token fraction (a pure
     SQL feature) must compress strictly better ON AVERAGE than the
-    least-repetitive quartile.  Aggregate-level, so fixture-robust; a
-    broken kernel (wrong level, truncated input, swapped columns) flips
-    a boolean and fails the hash."""
+    least-repetitive quartile.  Quartile membership comes from exact
+    percentile CUT POINTS (p25/p75 aggregates broadcast back), not a
+    global ntile Window — no single-partition sort of the whole
+    relation, so the gate keeps the suite's scale posture (ADVICE r3).
+    Aggregate-level, so fixture-robust; a broken kernel (wrong level,
+    truncated input, swapped columns) flips a boolean and fails the
+    hash."""
     d = _docs(spark, sf_dir)
     ratios = d.select("doc_id", "text").mapInPandas(
         compression_ratio_kernel(), schema="doc_id long, n_chars long, ratio_e6 long"
@@ -876,15 +880,18 @@ def q_compression_ratio_soundness(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     )
     joined = ratios.join(rep, "doc_id")
-    quartiled = joined.withColumn(
-        "q", F.ntile(4).over(__import__("pyspark.sql", fromlist=["Window"]).Window.orderBy("distinct_frac", "doc_id"))
+    cuts = joined.agg(
+        F.expr("percentile(distinct_frac, 0.25)").alias("p25"),
+        F.expr("percentile(distinct_frac, 0.75)").alias("p75"),
     )
-    means = quartiled.groupBy("q").agg(F.avg("ratio_e6").alias("mean_ratio"))
-    rep_mean = means.where(F.col("q") == 1).select(
-        F.col("mean_ratio").alias("rep_mean")
+    with_cuts = joined.crossJoin(F.broadcast(cuts))
+    rep_mean = (
+        with_cuts.where(F.col("distinct_frac") <= F.col("p25"))
+        .agg(F.avg("ratio_e6").alias("rep_mean"))
     )
-    nat_mean = means.where(F.col("q") == 4).select(
-        F.col("mean_ratio").alias("nat_mean")
+    nat_mean = (
+        with_cuts.where(F.col("distinct_frac") >= F.col("p75"))
+        .agg(F.avg("ratio_e6").alias("nat_mean"))
     )
     within_envelope = (
         (F.col("ratio_e6") > 0)

@@ -370,18 +370,26 @@ def q_quantized_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("pq_knn_rerank", oracle=_KNN_ORACLE.format(nq=N_QUERIES, k=TOP_K))
 def q_pq_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantized ANN (operators/pq.py): 8 subvector codebooks of 16
+    """Product-quantized ANN (operators/pq.py): 8 subvector codebooks of 64
     codes compress each 64-d vector to 8 bytes (32x less scan than float32),
     ADC table-lookup scoring builds the shortlist, exact float64 rerank
     restores the true top-k.  Oracle = exact kNN, so a shortlist recall
-    miss is a hash mismatch — same gate as quantized_knn_rerank."""
+    miss is a hash mismatch — same gate as quantized_knn_rerank.
+    Gate sizing: on the isotropic hash-embedding fixture (no cluster
+    structure — PQ's worst case) the measured worst true-top-5 ADC rank
+    at sf0.1 is ~1100/2000 with 16 codes but 150/2000 with 64, so
+    64 codes + shortlist 512 holds the exact-recovery contract with >3x
+    margin for any order-pinned codebook draw (ADVICE r3 repartition fix
+    shifted the draw and exposed the old 128-shortlist as luck)."""
     from crawling_vectordb_llm_spark.operators.pq import pq_knn_rerank
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = pq_knn_rerank(queries, emb, k=TOP_K, shortlist=128, corpus_id="vec_id")
+    out = pq_knn_rerank(
+        queries, emb, k=TOP_K, shortlist=512, n_codes=64, corpus_id="vec_id"
+    )
     return out.select(
         "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "score"
     )

@@ -440,3 +440,34 @@ def test_duplicate_span_excise_no_dups_is_identity(spark):
         .count()
     )
     assert joined == 0
+
+
+def test_duplicate_span_excise_rejects_invalid_id_domain(spark):
+    """The packed owner key requires doc_id >= 0 and pos < pos_pack
+    (ADVICE r3): violations must error the job, not silently elect a
+    wrong owner via an inverted/colliding key."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    base = "tok " * 12  # long enough for 5-gram occurrences
+    neg = spark.createDataFrame(
+        [(-1, base.strip()), (2, base.strip())], "doc_id long, text string"
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        D.duplicate_span_excise(neg, n=5, min_count=2).collect()
+    assert "duplicate_span_excise" in str(ei.value)
+
+    # tiny pos_pack makes a normal doc overflow the position domain
+    ok = spark.createDataFrame([(1, base.strip()), (2, base.strip())],
+                               "doc_id long, text string")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        D.duplicate_span_excise(ok, n=5, min_count=2, pos_pack=4).collect()
+    assert "duplicate_span_excise" in str(ei.value)
+
+    # and the valid domain still works unchanged: "tok"*12 self-repeats,
+    # so the globally-first span (doc 1, pos 0) owns and everything else
+    # (positions 1-11 of doc 1, all of doc 2) is excised
+    out = {r["doc_id"]: r for r in
+           D.duplicate_span_excise(ok, n=5, min_count=2).collect()}
+    assert out[1]["n_excised"] == 11 and out[1]["clean_text"] == "tok"
+    assert out[2]["n_excised"] == 12 and out[2]["clean_text"] == ""
