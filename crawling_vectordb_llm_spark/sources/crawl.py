@@ -68,16 +68,25 @@ _VOID_TAGS = frozenset(
 )
 
 
+class UnsupportedSelectorError(ValueError):
+    """A CSS selector outside the stdlib engine's grammar.  Named (and a
+    ValueError subclass for backward compatibility) so callers can gate
+    on it and tests can assert the reject path explicitly (VERDICT r3)."""
+
+
 class _Step:
     """One compound selector: tag (None = any/'*'), classes (ALL must be
-    present), id, and [attr op value] conditions."""
+    present), id, [attr op value] conditions, and structural/negation
+    pseudo-classes (:first-child, :nth-child(an+b), :not(compound))."""
 
-    __slots__ = ("tag", "classes", "id", "attrs")
+    __slots__ = ("tag", "classes", "id", "attrs", "nth", "nots")
 
-    def __init__(self, tag, classes, id_, attrs):
+    def __init__(self, tag, classes, id_, attrs, nth=None, nots=None):
         self.tag, self.classes, self.id, self.attrs = tag, classes, id_, attrs
+        self.nth = nth or []  # [(a, b)] — index i matches if i = a*k + b, k>=0
+        self.nots = nots or []  # [_Step] — none may match
 
-    def matches(self, el) -> bool:
+    def matches(self, el, index: int) -> bool:
         tag, classes, id_, attrs = el
         if self.tag and tag != self.tag:
             return False
@@ -99,101 +108,207 @@ class _Step:
                 return False
             if op == "~=" and val not in got.split():
                 return False
-        return True
+        for a, b in self.nth:
+            if a == 0:
+                if index != b:
+                    return False
+            elif (index - b) % a != 0 or (index - b) // a < 0:
+                return False
+        return not any(n.matches(el, index) for n in self.nots)
 
 
 _ATOM_RE = None  # compiled lazily (module import stays cheap on executors)
 
+#: pseudo-classes decidable during a streaming parse (no lookahead):
+#: structural position among PRECEDING siblings, and negation.
+_SUPPORTED_PSEUDOS = ("first-child", "nth-child", "not")
 
-def _compile_selector(selector: str) -> list[tuple[str, _Step]]:
-    """CSS subset → [(combinator, step)] matched right-to-left.
 
-    Supported without bs4: tag / '*' / .class (several) / #id /
-    [attr] [attr=v] [attr^=v] [attr$=v] [attr*=v] [attr~=v] (value
-    optionally quoted) compounded freely, joined by descendant (space)
-    and child ('>') combinators.  Rejected (need bs4): selector lists
-    (','), sibling combinators ('+'/'~'), pseudo-classes/elements (':').
-    The first step's combinator slot is ''."""
+def _parse_nth(arg: str, err: str) -> tuple[int, int]:
+    """':nth-child' argument → (a, b) of the an+b form; 'odd'/'even'/int
+    handled.  Matching rule: 1-based index i matches iff i = a*k + b for
+    some integer k >= 0 (a == 0 → i == b exactly) — the CSS spec rule."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"\s*(?:(?P<word>odd|even)"
+        r"|(?P<a>[+-]?\d*)n\s*(?:(?P<sign>[+-])\s*(?P<b>\d+))?"
+        r"|(?P<k>[+-]?\d+))\s*",
+        arg or "",
+    )
+    if not m:
+        raise UnsupportedSelectorError(err)
+    if m.group("word"):
+        return (2, 1) if m.group("word") == "odd" else (2, 0)
+    if m.group("k") is not None:
+        return (0, int(m.group("k")))
+    a_txt = m.group("a")
+    a = 1 if a_txt in ("", "+") else (-1 if a_txt == "-" else int(a_txt))
+    b = int(m.group("b") or 0) * (-1 if m.group("sign") == "-" else 1)
+    return (a, b)
+
+
+def _split_selector_list(s: str) -> list[str]:
+    """Split on TOP-LEVEL commas only ('[attr=\"a,b\"]' and ':not(x,y)'
+    commas stay intact)."""
+    parts, depth, buf = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def _compile_compound(compound: str, err: str, allow_not: bool = True) -> _Step:
+    """One compound (no combinators) → _Step; shared by the chain walker
+    and ':not(...)' arguments (which therefore can't nest ':not')."""
     import re as _re
 
     global _ATOM_RE
     if _ATOM_RE is None:
         _ATOM_RE = _re.compile(
             r"(?P<tag>[a-zA-Z][\w-]*|\*)?"
-            r"(?P<quals>(?:\.[\w-]+|#[\w-]+|\[[^\]]+\])*)"
+            r"(?P<quals>(?:\.[\w-]+|#[\w-]+|\[[^\]]+\]|:[\w-]+(?:\((?:[^()]|\([^()]*\))*\))?)*)"
         )
+    m = _ATOM_RE.fullmatch(compound.strip())
+    if not m or (not m.group("tag") and not m.group("quals")):
+        raise UnsupportedSelectorError(err)
+    tag = m.group("tag")
+    tag = None if tag in (None, "*") else tag.lower()
+    classes, id_, attrs, nth, nots = set(), None, [], [], []
+    first_child = False
+    for qm in _re.finditer(
+        r"\.(?P<cls>[\w-]+)|#(?P<id>[\w-]+)|\[(?P<attr>[^\]]+)\]"
+        r"|:(?P<pseudo>[\w-]+)(?:\((?P<parg>(?:[^()]|\([^()]*\))*)\))?",
+        m.group("quals"),
+    ):
+        if qm.group("cls"):
+            classes.add(qm.group("cls"))
+        elif qm.group("id"):
+            id_ = qm.group("id")
+        elif qm.group("pseudo"):
+            name, parg = qm.group("pseudo"), qm.group("parg")
+            if name == "first-child" and parg is None:
+                first_child = True
+            elif name == "nth-child":
+                nth.append(_parse_nth(parg or "", err))
+            elif name == "not" and allow_not:
+                for alt in _split_selector_list(parg or ""):
+                    nots.append(_compile_compound(alt, err, allow_not=False))
+            else:
+                raise UnsupportedSelectorError(err)
+        else:
+            am = _re.fullmatch(
+                r"\s*(?P<n>[\w-]+)\s*(?:(?P<op>[\^\$\*~]?=)\s*"
+                r"(?P<v>\"[^\"]*\"|'[^']*'|[^\s\]]*)\s*)?",
+                qm.group("attr"),
+            )
+            if not am:
+                raise UnsupportedSelectorError(err)
+            val = am.group("v")
+            if val and val[0] in "\"'":
+                val = val[1:-1]
+            attrs.append((am.group("n").lower(), am.group("op") or "", val or ""))
+    if first_child:
+        nth.append((0, 1))
+    return _Step(tag, classes, id_, attrs, nth, nots)
+
+
+def _compile_selector(selector: str) -> list[list[tuple[str, _Step]]]:
+    """CSS subset → list of alternative chains (selector list ','); each
+    chain is [(combinator, step)] matched right-to-left.
+
+    Supported without bs4: tag / '*' / .class (several) / #id /
+    [attr] [attr=v] [attr^=v] [attr$=v] [attr*=v] [attr~=v] (value
+    optionally quoted) / :first-child / :nth-child(an+b|odd|even|k) /
+    :not(compound[, compound...]) compounded freely, joined by descendant
+    (space), child ('>'), adjacent-sibling ('+') and general-sibling
+    ('~') combinators, with top-level ',' selector lists.  Rejected with
+    UnsupportedSelectorError (need bs4): lookahead pseudo-classes
+    (:last-child, :nth-last-child, :empty, :only-child — undecidable in
+    one streaming pass), :nth-of-type and friends, and pseudo-elements
+    ('::').  The first step's combinator slot is ''."""
+    import re as _re
+
     err = (
         f"unsupported selector {selector!r}: without bs4 the stdlib engine "
-        "covers tag/*/.class/#id/[attr(=^$*~)val] compounds with descendant "
-        "and '>' combinators; selector lists, sibling combinators and "
-        "pseudo-classes need bs4"
+        "covers tag/*/.class/#id/[attr(=^$*~)val]/:first-child/"
+        ":nth-child(an+b)/:not(compound) compounds with ' ', '>', '+', '~' "
+        "combinators and ',' lists; lookahead pseudo-classes (:last-child, "
+        ":empty, ...), :nth-of-type and pseudo-elements need bs4"
     )
-    s = (selector or "").strip()
-    if not s:
-        raise ValueError(err)
-    steps: list[tuple[str, _Step]] = []
-    i, comb = 0, ""
-    while i < len(s):
-        m = _ATOM_RE.match(s, i)
-        if not m or m.end() == i or (not m.group("tag") and not m.group("quals")):
-            raise ValueError(err)
-        tag = m.group("tag")
-        tag = None if tag in (None, "*") else tag.lower()
-        classes, id_, attrs = set(), None, []
-        for qm in _re.finditer(
-            r"\.(?P<cls>[\w-]+)|#(?P<id>[\w-]+)|\[(?P<attr>[^\]]+)\]",
-            m.group("quals"),
-        ):
-            if qm.group("cls"):
-                classes.add(qm.group("cls"))
-            elif qm.group("id"):
-                id_ = qm.group("id")
-            else:
-                am = _re.fullmatch(
-                    r"\s*(?P<n>[\w-]+)\s*(?:(?P<op>[\^\$\*~]?=)\s*"
-                    r"(?P<v>\"[^\"]*\"|'[^']*'|[^\s\]]*)\s*)?",
-                    qm.group("attr"),
-                )
-                if not am:
-                    raise ValueError(err)
-                val = am.group("v")
-                if val and val[0] in "\"'":
-                    val = val[1:-1]
-                attrs.append(
-                    (am.group("n").lower(), am.group("op") or "", val or "")
-                )
-        steps.append((comb, _Step(tag, classes, id_, attrs)))
-        i = m.end()
-        ws = _re.match(r"\s*(>)?\s*", s[i:])
-        nxt = ws.group(0)
-        if i + len(nxt) >= len(s):
-            if ws.group(1):
-                raise ValueError(err)  # dangling '>'
-            break
-        if not nxt:
-            raise ValueError(err)  # e.g. ',', '+', '~', ':' hit the atom re
-        comb = ">" if ws.group(1) else " "
-        i += len(nxt)
-    if not steps:
-        raise ValueError(err)
-    return steps
+    alternatives: list[list[tuple[str, _Step]]] = []
+    for chain_src in _split_selector_list((selector or "").strip()):
+        s = chain_src.strip()
+        if not s:
+            raise UnsupportedSelectorError(err)
+        steps: list[tuple[str, _Step]] = []
+        i, comb = 0, ""
+        while i < len(s):
+            m = _ATOM_RE.match(s, i) if _ATOM_RE else None
+            if m is None:  # first call in this process compiles _ATOM_RE
+                _compile_compound("*", err)
+                m = _ATOM_RE.match(s, i)
+            if not m or m.end() == i or (
+                not m.group("tag") and not m.group("quals")
+            ):
+                raise UnsupportedSelectorError(err)
+            steps.append((comb, _compile_compound(m.group(0), err)))
+            i = m.end()
+            ws = _re.match(r"\s*([>+~])?\s*", s[i:])
+            nxt = ws.group(0)
+            if i + len(nxt) >= len(s):
+                if ws.group(1):
+                    raise UnsupportedSelectorError(err)  # dangling combinator
+                break
+            if not nxt:
+                raise UnsupportedSelectorError(err)  # e.g. '::' hit the atom re
+            comb = ws.group(1) or " "
+            i += len(nxt)
+        if not steps:
+            raise UnsupportedSelectorError(err)
+        alternatives.append(steps)
+    return alternatives
 
 
-def _chain_matches(steps, stack) -> bool:
+def _chain_matches(steps, stack, kids) -> bool:
     """Right-to-left CSS matching with backtracking over the open-element
     stack (descendant steps may need a FARTHER ancestor when the nearest
-    candidate has no matching context above it)."""
+    candidate has no matching context above it).
 
-    def rec(si: int, ei: int) -> bool:
-        if not steps[si][1].matches(stack[ei]):
+    `kids[d]` holds the ordered start-tag summaries of ALL children seen
+    so far under stack[d-1] (kids[0] = top level) — the open element at
+    depth d is always kids[d][-1], and its CLOSED preceding siblings are
+    the earlier entries, which is exactly the information sibling
+    combinators ('+'/'~') and :nth-child need.  A match position is
+    (ei, si): element kids[ei][si], whose ancestors are stack[:ei]
+    regardless of whether it is still open."""
+
+    def rec(si_step: int, ei: int, si: int) -> bool:
+        if not steps[si_step][1].matches(kids[ei][si], si + 1):
             return False
-        if si == 0:
+        if si_step == 0:
             return True
-        if steps[si][0] == ">":
-            return ei > 0 and rec(si - 1, ei - 1)
-        return any(rec(si - 1, j) for j in range(ei - 1, -1, -1))
+        comb = steps[si_step][0]
+        if comb == ">":
+            return ei > 0 and rec(si_step - 1, ei - 1, len(kids[ei - 1]) - 1)
+        if comb == "+":
+            return si > 0 and rec(si_step - 1, ei, si - 1)
+        if comb == "~":
+            return any(rec(si_step - 1, ei, j) for j in range(si - 1, -1, -1))
+        return any(
+            rec(si_step - 1, j, len(kids[j]) - 1) for j in range(ei - 1, -1, -1)
+        )
 
-    return rec(len(steps) - 1, len(stack) - 1)
+    ei = len(stack) - 1
+    return rec(len(steps) - 1, ei, len(kids[ei]) - 1)
 
 
 def select_text(html: str, selector: str) -> str | None:
@@ -205,24 +320,33 @@ def select_text(html: str, selector: str) -> str | None:
     supersedes this when bs4 is importable."""
     from html.parser import HTMLParser
 
-    steps = _compile_selector(selector)
+    chains = _compile_selector(selector)
 
     class _Extract(HTMLParser):
         def __init__(self) -> None:
             super().__init__(convert_charrefs=True)
             self.stack: list[tuple] = []  # (tag, classes, id, attrs)
+            # kids[d]: start-tag summaries of every child (void tags
+            # included — they occupy :nth-child positions) under
+            # stack[d-1]; kids[0] = top level
+            self.kids: list[list[tuple]] = [[]]
             self.capture_at: int | None = None
             self.done = False
             self.out: list[str] = []
 
         def handle_starttag(self, tag: str, attrs) -> None:
-            if self.done or tag in _VOID_TAGS:
+            if self.done:
                 return
             d = {k: (v or "") for k, v in attrs}
-            self.stack.append(
-                (tag, set((d.get("class") or "").split()), d.get("id"), d)
-            )
-            if self.capture_at is None and _chain_matches(steps, self.stack):
+            el = (tag, set((d.get("class") or "").split()), d.get("id"), d)
+            self.kids[len(self.stack)].append(el)
+            if tag in _VOID_TAGS:
+                return  # a sibling for counting, never an open element
+            self.stack.append(el)
+            self.kids.append([])
+            if self.capture_at is None and any(
+                _chain_matches(c, self.stack, self.kids) for c in chains
+            ):
                 self.capture_at = len(self.stack)
 
         def handle_endtag(self, tag: str) -> None:
@@ -233,6 +357,7 @@ def select_text(html: str, selector: str) -> str | None:
             for i in range(len(self.stack) - 1, -1, -1):
                 if self.stack[i][0] == tag:
                     del self.stack[i:]
+                    del self.kids[i + 1 :]
                     break
             if self.capture_at is not None and len(self.stack) < self.capture_at:
                 self.capture_at = None
@@ -251,9 +376,10 @@ def select_text(html: str, selector: str) -> str | None:
 def make_selector_fn(selector: str):
     """Build the per-row text-selection callable: bs4 (full CSS grammar)
     when importable, else the stdlib `select_text` engine — in which case
-    the selector is validated HERE, so combinator/attribute selectors
-    fail fast at plan time with the bs4 guidance instead of per-row in a
-    worker.  Returns (fn, engine_name) — engine_name is asserted in
+    the selector is validated HERE, so grammar the stdlib engine lacks
+    (lookahead pseudo-classes, of-type, pseudo-elements) fails fast at
+    plan time with UnsupportedSelectorError and the bs4 guidance instead
+    of per-row in a worker.  Returns (fn, engine_name) — engine_name is asserted in
     tests so both paths stay explicitly covered."""
     try:
         from bs4 import BeautifulSoup  # noqa: PLC0415

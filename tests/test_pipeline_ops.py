@@ -374,20 +374,30 @@ def test_sentence_transformer_adapter_seam():
 
 
 def test_selector_reject_path_is_eager_and_explicit():
-    """VERDICT r2 #6 (reject path): without bs4, the selector shapes the
-    stdlib engine STILL cannot honor (lists, siblings, pseudo-classes)
-    must raise ValueError with the bs4 guidance — at PLAN time
+    """VERDICT r3 #8 (reject path): without bs4, the selector shapes the
+    stdlib engine genuinely cannot honor in one streaming pass (lookahead
+    pseudo-classes, of-type variants, pseudo-elements) must raise the
+    NAMED UnsupportedSelectorError with the bs4 guidance — at PLAN time
     (extract_content call), not per-row inside a worker."""
     for bad in (
-        "div, span",        # selector list
-        "p:first-child",    # pseudo-class
-        "a::before",        # pseudo-element
-        "div + p",          # adjacent sibling
-        "div ~ p",          # general sibling
-        "div >",            # dangling combinator
-        "",                 # empty
+        "p:last-child",       # lookahead: undecidable while streaming
+        "p:nth-last-child(2)",
+        "p:only-child",
+        "div:empty",
+        "p:nth-of-type(2)",   # of-type counting not implemented
+        "a:hover",            # dynamic pseudo-class
+        "a::before",          # pseudo-element
+        "p:nth-child(x)",     # malformed an+b argument
+        ":not(div > p)",      # :not takes a compound, not a chain
+        ":not(:not(a))",      # nested :not
+        "div >",              # dangling combinator
+        "div +",
+        "div,",               # empty list member
+        "",                   # empty
     ):
-        with pytest.raises(ValueError, match="unsupported selector"):
+        with pytest.raises(
+            crawl.UnsupportedSelectorError, match="unsupported selector"
+        ):
             crawl._compile_selector(bad)
 
     # and the plan-time surface: extract_content raises immediately, no
@@ -401,7 +411,51 @@ def test_selector_reject_path_is_eager_and_explicit():
         pd.DataFrame({"url": ["u"], "html": ["<p>x</p>"]})
     )
     with pytest.raises(ValueError, match="unsupported selector"):
-        crawl.extract_content(pages, selector="div, p")
+        crawl.extract_content(pages, selector="div p:only-child")
+
+
+def test_select_text_pseudo_classes_siblings_and_lists():
+    """VERDICT r3 #8 (grammar growth): :nth-child/:first-child/:not,
+    sibling combinators and selector lists now run in the stdlib engine.
+    Void tags occupy child positions (per spec) and CLOSED preceding
+    siblings participate in '+'/'~' matching."""
+    st = crawl.select_text
+    html = (
+        "<ul>"
+        "<li>one</li><li>two</li><li>three</li><li>four</li>"
+        "</ul>"
+        '<div class="x"><h2>head</h2><p>after-h2</p><p>third</p></div>'
+    )
+    assert st(html, "li:first-child") == "one"
+    assert st(html, "li:nth-child(2)") == "two"
+    assert st(html, "li:nth-child(odd)") == "one"
+    assert st(html, "li:nth-child(even)") == "two"
+    assert st(html, "li:nth-child(2n+1)") == "one"
+    assert st(html, "li:nth-child(n+3)") == "three"
+    assert st(html, "li:nth-child(-n+1)") == "one"
+    assert st(html, "li:nth-child(5)") is None
+    # :not — negation over a compound
+    assert st(html, "div.x > :not(h2)") == "after-h2"
+    assert st(html, "li:not(:first-child)") == "two"
+    assert st(html, "li:not(:nth-child(-n+2))") == "three"
+    # sibling combinators need the CLOSED previous sibling's summary
+    assert st(html, "h2 + p") == "after-h2"
+    assert st(html, "h2 ~ p:nth-child(3)") == "third"
+    assert st(html, "p + p") == "third"
+    assert st(html, "p + h2") is None
+    # selector list: first DOCUMENT-ORDER match wins across alternatives
+    assert st(html, "article, li:nth-child(4), h2") == "four"
+    # void tags count as children for :nth-child positions
+    html2 = '<div><img src="s"><p>p-is-second</p></div>'
+    assert st(html2, "div > p:nth-child(2)") == "p-is-second"
+    assert st(html2, "div > p:first-child") is None
+    assert st(html2, "img + p") == "p-is-second"
+    # chain through a sibling step then up: ancestor of the SIBLING
+    html3 = (
+        "<section><h2>a</h2><div>skip</div></section>"
+        "<section><h2>b</h2><p>hit</p></section>"
+    )
+    assert st(html3, "section > h2 + p") == "hit"
 
 
 def test_selector_bs4_path_via_stub(monkeypatch):
