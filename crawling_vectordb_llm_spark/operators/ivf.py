@@ -182,47 +182,93 @@ def ivf_search(
     corpus_vec: str = "embedding",
 ) -> DataFrame:
     """Probe the n_probe nearest cells per query, exact-score only those
-    cells' vectors, return top-k.  The candidate join key is centroid_id —
-    with a centroid-partitioned table this is partition pruning."""
-    spark = queries.sparkSession
+    cells' vectors, return top-k.
+
+    Physical shape (rewritten round 4 — measured on the clustered
+    fixture, SCALE.md): the per-cell QUERY matrices broadcast (queries
+    are the small side, same bounded-collect contract as knn_join_numpy)
+    and each corpus partition GEMMs every Arrow batch's cell groups
+    against only the queries probing that cell, keeping a partition-
+    local top-k per query.  Shuffle volume is partitions x queries x k
+    score triples — independent of corpus size and of n_probe.  The
+    previous shape (broadcast (query, cell) pairs joined onto the
+    corpus) replicated every candidate ROW WITH ITS VECTOR once per
+    probing query through Arrow: at 4k queries x 80k corpus x 8/128
+    probes that is ~20M vector-carrying rows (~5 GB) for ~10 MB of
+    useful output, and it benchmarked SLOWER than the exact broadcast
+    GEMM it was meant to beat (1.5-2.3x).  Map-side cell GEMM does
+    1/(n_cells/n_probe) of the exact path's flops AND ships less than
+    it.  With a centroid-partitioned table the cell filter additionally
+    becomes partition pruning at the scan."""
     qrows = queries.select(query_id, query_vec).collect()
     qids = np.array([r[0] for r in qrows])
     qmat = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))
     probe_cells = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
 
-    probes = spark.createDataFrame(
-        [
-            (int(qids[i]), [int(c) for c in probe_cells[i]])
-            for i in range(len(qids))
-        ],
-        f"{query_id} long, cells array<int>",
-    ).select(query_id, F.explode("cells").alias("centroid_id"))
+    # cell -> (query ids, query matrix): the per-cell GEMM operands
+    cell_q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for c in np.unique(probe_cells):
+        mask = (probe_cells == c).any(axis=1)
+        cell_q[int(c)] = (qids[mask], qmat[mask])
+    spark = queries.sparkSession
+    bq = spark.sparkContext.broadcast(cell_q)
 
-    bq = spark.sparkContext.broadcast({int(q): qmat[i] for i, q in enumerate(qids)})
-
-    candidates = assigned_corpus.join(
-        F.broadcast(probes), "centroid_id"
-    ).select(query_id, corpus_id, corpus_vec)
-
-    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qv = bq.value
+    def _cell_gemm_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cq = bq.value
+        out_q: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            cells = pdf["centroid_id"].to_numpy()
             cmat = _normalize(np.array(list(pdf[corpus_vec]), dtype=np.float64))
-            qarr = np.array([qv[int(q)] for q in pdf[query_id]])
-            scores = np.einsum("ij,ij->i", qarr, cmat)
-            yield pd.DataFrame(
-                {
-                    query_id: pdf[query_id],
-                    corpus_id: pdf[corpus_id],
-                    "score": np.round(scores, 6),
-                }
-            )
+            ids = pdf[corpus_id].to_numpy()
+            for c in np.unique(cells):
+                q = cq.get(int(c))
+                if q is None:
+                    continue  # no query probes this cell: skipped entirely
+                sel = cells == c
+                sub_ids, sub = ids[sel], cmat[sel]
+                scores = q[1] @ sub.T  # (nq_cell, n_cell_rows)
+                top = min(k, scores.shape[1])
+                if top < scores.shape[1]:
+                    # vectorized per-row top-k on raw scores; a raw-float
+                    # tie AT the boundary may admit either twin — the
+                    # approximate-search contract (exact paths keep the
+                    # full 6-dp/id tie-break)
+                    idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+                else:
+                    idx = np.broadcast_to(
+                        np.arange(top), (scores.shape[0], top)
+                    )
+                out_q.append(np.repeat(q[0], top))
+                out_i.append(sub_ids[idx].ravel())
+                out_s.append(np.take_along_axis(scores, idx, axis=1).ravel())
+        if not out_q:
+            yield pd.DataFrame({query_id: [], corpus_id: [], "score": []})
+            return
+        qarr = np.concatenate(out_q).astype(np.int64)
+        iarr = np.concatenate(out_i)
+        sarr = np.round(np.concatenate(out_s), 6)
+        # one vectorized partition-local rank pass: (query, score desc,
+        # id asc) — the same ordering as the global stage, so truncation
+        # to k matches what the global rank would keep
+        order = np.lexsort((iarr, -sarr, qarr))
+        qs, is_, ss = qarr[order], iarr[order], sarr[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        sizes = np.diff(np.append(starts, len(qs)))
+        ranks = np.arange(len(qs)) - np.repeat(starts, sizes)
+        keep = ranks < k
+        yield pd.DataFrame(
+            {query_id: qs[keep], corpus_id: is_[keep], "score": ss[keep]}
+        )
 
     cid_t = assigned_corpus.schema[corpus_id].dataType.simpleString()
-    scored = candidates.mapInPandas(
-        _score, schema=f"{query_id} long, {corpus_id} {cid_t}, score double"
+    scored = assigned_corpus.select(
+        corpus_id, corpus_vec, "centroid_id"
+    ).mapInPandas(
+        _cell_gemm_topk, schema=f"{query_id} long, {corpus_id} {cid_t}, score double"
     )
     return grouped_topk(
         scored, [query_id], [F.desc("score"), F.asc(corpus_id)], k
@@ -255,6 +301,8 @@ def ivf_pruned_threshold_join(
     max_cell_rows: int = 65_536,
     gemm_chunk_rows: int = 2_048,
     score_col: str = "score",
+    stats_out: dict | None = None,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """EXACT cosine-threshold self-join through IVF-cell candidate pruning
     — the composed "candidates → verify" pipeline (VERDICT r2 #2) with
@@ -286,7 +334,19 @@ def ivf_pruned_threshold_join(
     uniform corpus degrades to the full exact grid, which is the blocked
     join's already-bounded cost.  Replication per row = number of
     admissible pairs its cell participates in (<= K+1), versus the
-    unconditional P+1 of the unpruned grid."""
+    unconditional P+1 of the unpruned grid.
+
+    `stats_out`: pass a dict to receive the measured prune plan —
+    {n, n_cells, admissible_blocks, total_blocks, candidate_pairs,
+    total_pairs, admit_rate} — the instrumentation behind the SCALE.md
+    clustered-geometry measurements (VERDICT r3 #2).  Costs one extra
+    small aggregate over the (cell, sub) histogram; skipped when None.
+
+    `centroids`: pass a persisted centroid matrix (plans/index_build.py)
+    to skip the in-call k-means fit — the production regime, where the
+    IVF index is built once per ingest and probed by every downstream
+    join; the fit's driver-side Lloyd cost would otherwise be charged to
+    every query at fixture scale."""
     from crawling_vectordb_llm_spark.operators.knn import _chunked_tau_gemm
 
     spark = corpus.sparkSession
@@ -296,7 +356,8 @@ def ivf_pruned_threshold_join(
             [], f"a_id long, b_id long, {score_col} double"
         )
     k = max(1, min(n_cells, n))
-    centroids = kmeans_centroids(corpus, k, vec_col, seed=seed)
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, k, vec_col, seed=seed)
     k = centroids.shape[0]
     bc = spark.sparkContext.broadcast(centroids)
 
@@ -382,6 +443,41 @@ def ivf_pruned_threshold_join(
     replicated = with_sub.join(F.broadcast(pairs_df), ["__cell", "__sub"]).select(
         "__id", "__v", "__pk", "__role"
     )
+
+    if stats_out is not None:
+        node_n = {
+            (int(r["__cell"]), int(r["__sub"])): int(r["cnt"])
+            for r in with_sub.groupBy("__cell", "__sub")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        by_pk: dict[int, list[tuple[int, int]]] = {}
+        for cell, sub, pk_, _role in pair_rows:
+            by_pk.setdefault(pk_, []).append((cell, sub))
+        cand = 0
+        for pk_, nodes in by_pk.items():
+            if pk_ in diag_pks:
+                m = node_n.get(nodes[0], 0)
+                cand += m * (m - 1) // 2
+            else:
+                cand += node_n.get(nodes[0], 0) * node_n.get(nodes[1], 0)
+        total_blocks = sum(
+            n_subs[ci] * n_subs[cj] if ci != cj
+            else n_subs[ci] * (n_subs[ci] + 1) // 2
+            for ci in cells
+            for cj in cells
+            if cj >= ci
+        )
+        total_pairs = n * (n - 1) // 2
+        stats_out.update(
+            n=n,
+            n_cells=k,
+            admissible_blocks=len(by_pk),
+            total_blocks=total_blocks,
+            candidate_pairs=cand,
+            total_pairs=total_pairs,
+            admit_rate=cand / max(total_pairs, 1),
+        )
 
     bc_diag = spark.sparkContext.broadcast(diag_pks)
 
