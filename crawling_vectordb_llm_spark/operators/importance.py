@@ -21,9 +21,15 @@ No shuffle touches the raw corpus except the final per-doc aggregation.
 The feature hash is md5-derived (first 3 hex chars -> 4096 buckets) so an
 external oracle (DuckDB, any engine with md5) reproduces it bit-for-bit —
 xxhash64 would be Spark-only.  Laplace (+1) smoothing keeps unseen
-buckets finite.  Per-feature log-ratios are rounded to 6 dp and summed as
-decimals so the grouped mean is order-independent (registry determinism
-rules).
+buckets finite.  Per-feature log-ratios are rounded to 4 dp (not 6) and
+summed as decimals so the grouped mean is order-independent AND robust
+to cross-engine libm ulp: JVM log and libc log may differ in the last
+bit, so a per-feature value within one ulp of a rounding midpoint flips
+between engines — at 6 dp the flip probability per feature is
+~ulp/1e-6, and the sf1 scale run actually hit one (doc 2009's score
+differed in the last digit); at 4 dp it is ~1e-12 per feature, gone for
+any realistic corpus.  4 dp per feature is far finer than DSIR needs —
+scores are means over tens of features of O(0.1) terms.
 """
 
 from __future__ import annotations
@@ -70,8 +76,16 @@ def dsir_importance(
     `target` is a boolean Column over `docs` selecting the target slice
     (it stays in the corpus — DSIR scores everything; callers drop or
     resample afterwards).  Returns (id_col, n_feats bigint, logratio
-    double) with logratio = mean per-feature [log p_t - log p_r], both
-    models Laplace-smoothed over the bucket space.
+    double) with logratio = SUM per-feature [log p_t - log p_r] (the
+    total log importance; divide by n_feats for the mean), both models
+    Laplace-smoothed over the bucket space.  The sum, not the mean, is
+    the output on purpose (sf1 finding): the sum of 4-dp decimals is
+    exact and converts to the identical double in every engine, while a
+    rounded mean invites the midpoint lottery — sum/count lands EXACTLY
+    on round-to-6dp midpoints whenever count divides the scaled sum
+    into a ...5 tail, and engines disagree on midpoint direction.
+    Ranking and resampling are unaffected either way (n_feats is in the
+    output; the mean is one division away for any consumer).
     """
     feats = docs.select(
         F.col(id_col),
@@ -100,12 +114,12 @@ def dsir_importance(
         F.round(
             F.log((F.col("c_tgt") + 1) / F.lit(t_tgt))
             - F.log((F.col("c_raw") + 1) / F.lit(t_raw)),
-            6,
+            4,  # grain >> libm ulp: see module docstring (sf1 finding)
         )
-        .cast("decimal(22,6)")
+        .cast("decimal(22,4)")
         .alias("lr"),
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_feats"),
-        F.round(F.sum("lr").cast("double") / F.count(F.lit(1)), 6).alias("logratio"),
+        F.sum("lr").cast("double").alias("logratio"),
     )

@@ -39,6 +39,23 @@ def davg(c: Column | str, alias: str) -> Column:
 
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(22,6))) AS DOUBLE)"
 _DAVG = f"ROUND({_DSUM} / COUNT(*), 6)"
+# exact decimal rendering for sums whose SCALED value can exceed 2^53
+# (~9e9 at 6 dp): above that, decimal→double conversion is not
+# correctly rounded in every engine (sf1 finding) — keep the decimal
+# and compare its canonical string
+_DSUM_EXACT = "CAST(CAST(SUM(CAST({x} AS DECIMAL(22,6))) AS DECIMAL(32,6)) AS VARCHAR)"
+
+
+def dsum_exact(c: Column | str, alias: str) -> Column:
+    """Order-independent exact sum rendered as the decimal's canonical
+    string — immune to the >2^53 decimal→double conversion hazard."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (
+        F.sum(c.cast("decimal(22,6)"))
+        .cast("decimal(32,6)")
+        .cast("string")
+        .alias(alias)
+    )
 
 
 # ---------------------------------------------------------------- filters/projections
@@ -84,10 +101,10 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       {_DSUM.format(x='l_quantity')} AS sum_qty,
-       {_DSUM.format(x='l_extendedprice')} AS sum_base_price,
-       {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-       {_DSUM.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_DSUM_EXACT.format(x='l_quantity')} AS sum_qty,
+       {_DSUM_EXACT.format(x='l_extendedprice')} AS sum_base_price,
+       {_DSUM_EXACT.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_DSUM_EXACT.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
        {_DAVG.format(x='l_quantity')} AS avg_qty,
        {_DAVG.format(x='l_extendedprice')} AS avg_price,
        {_DAVG.format(x='l_discount')} AS avg_disc,
@@ -99,15 +116,21 @@ GROUP BY l_returnflag, l_linestatus
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: hash agg with map-side partial aggregation — the
-    shuffle carries 4 groups, not 60k rows."""
+    shuffle carries 4 groups, not 60k rows.  The big money sums stay
+    DECIMAL end-to-end (rendered as exact strings in both engines, not
+    cast to double): found at the sf1 scale run — once a sum's scaled
+    units exceed 2^53 (~9e9 at 6 dp), DuckDB's decimal→double
+    conversion is not correctly rounded (it divides the int128 by 10^6
+    in floating point) and can land one ulp off Spark's BigDecimal
+    conversion, hash-mismatching an otherwise bit-identical sum."""
     l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1999-12-01")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", "sum_qty"),
-        dsum("l_extendedprice", "sum_base_price"),
-        dsum(disc_price, "sum_disc_price"),
-        dsum(charge, "sum_charge"),
+        dsum_exact("l_quantity", "sum_qty"),
+        dsum_exact("l_extendedprice", "sum_base_price"),
+        dsum_exact(disc_price, "sum_disc_price"),
+        dsum_exact(charge, "sum_charge"),
         davg("l_quantity", "avg_qty"),
         davg("l_extendedprice", "avg_price"),
         davg("l_discount", "avg_disc"),

@@ -632,12 +632,12 @@ WITH toks AS (
   FROM model
 ), scored AS (
   SELECT f.doc_id,
-         CAST(ROUND(ln((m.c_tgt + 1) / t.t_tgt) - ln((m.c_raw + 1) / t.t_raw), 6)
-              AS DECIMAL(22,6)) AS lr
+         CAST(ROUND(ln((m.c_tgt + 1) / t.t_tgt) - ln((m.c_raw + 1) / t.t_raw), 4)
+              AS DECIMAL(22,4)) AS lr
   FROM feats f JOIN model m USING (bucket) CROSS JOIN tot t
 )
 SELECT doc_id, COUNT(*) AS n_feats,
-       ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS logratio
+       CAST(SUM(lr) AS DOUBLE) AS logratio
 FROM scored GROUP BY doc_id
 """,
 )

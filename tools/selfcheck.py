@@ -7,11 +7,21 @@ rounding floats to 6 dp on both sides).
 
 Usage: python tools/selfcheck.py [sf_dir] [query_name ...]
        python tools/selfcheck.py --json OUT.json [sf_dir] [query_name ...]
+       python tools/selfcheck.py --oracle-timeout 300 [sf_dir] [...]
 
 --json additionally writes the full per-query result map in the
 driver's CORRECTNESS_r{N}.json shape, so a complete-registry artifact
 can be checked in alongside the driver's 50-query sample (ADVICE r2).
-"""
+
+--oracle-timeout N interrupts any DuckDB oracle running longer than N
+seconds (duckdb's interrupt() from a watchdog thread) and records
+err="oracle_timeout" instead of hanging — needed for the sf1 scale run
+(VERDICT r3 #1), where a handful of oracles are QUADRATIC/recursive by
+design (they're correctness gates sized for the driver's sf0.01 check;
+e.g. the recursive-CTE connected-components replay over a pair list
+that grows ~N^2 when fixtures are replicated with genuine duplicates).
+A timed-out oracle is an infeasibility record, not a failure — the
+Spark side still ran and its wall/rows are reported."""
 
 from __future__ import annotations
 
@@ -52,9 +62,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
+    oracle_timeout = None
+    while args and args[0].startswith("--"):
+        if args[0] == "--json":
+            json_out = args[1]
+            args = args[2:]
+        elif args[0] == "--oracle-timeout":
+            oracle_timeout = float(args[1])
+            args = args[2:]
+        else:
+            raise SystemExit(f"unknown flag {args[0]!r}")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark("selfcheck")
@@ -93,13 +110,30 @@ def main() -> int:
                 print(f"WARN {name}: 0 rows")
             record(name, spark_rows=len(sdf), err="no_oracle")
             continue
+        timer = None
+        fired = []
+        if oracle_timeout:
+            import threading
+
+            timer = threading.Timer(
+                oracle_timeout, lambda: (fired.append(1), con.interrupt())
+            )
+            timer.start()
         try:
             ddf = con.sql(ORACLES[name]).df()
         except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL {name}: duckdb error: {e}")
-            record(name, spark_rows=len(sdf), err=f"duckdb: {e}")
+            if fired:
+                print(f"SKIP {name}: oracle_timeout after {oracle_timeout:.0f}s "
+                      f"(spark side ok: {len(sdf)} rows, {took:.1f}s)")
+                record(name, spark_rows=len(sdf), err="oracle_timeout")
+            else:
+                failures.append(name)
+                print(f"FAIL {name}: duckdb error: {e}")
+                record(name, spark_rows=len(sdf), err=f"duckdb: {e}")
             continue
+        finally:
+            if timer:
+                timer.cancel()
         ns, nd = normalize(sdf), normalize(ddf)
         rows_match = len(sdf) == len(ddf)
         schema_match = list(ns.columns) == list(nd.columns)
