@@ -480,6 +480,10 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # global (unpartitioned) window — INTENTIONAL: it ranks the already-
+    # aggregated gram table (small by construction), not the corpus; the
+    # WindowExec single-partition warning it emits is gate-scale noise,
+    # not a scale bug (VERDICT r3 nit)
     w = Window.orderBy(F.desc("n_docs"), F.asc("gram"))
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
