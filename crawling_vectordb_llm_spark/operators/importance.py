@@ -84,8 +84,11 @@ def dsir_importance(
     rounded mean invites the midpoint lottery — sum/count lands EXACTLY
     on round-to-6dp midpoints whenever count divides the scaled sum
     into a ...5 tail, and engines disagree on midpoint direction.
-    Ranking and resampling are unaffected either way (n_feats is in the
-    output; the mean is one division away for any consumer).
+    NOTE the sum and the mean do NOT rank identically when documents
+    differ in n_feats — longer documents accumulate larger |logratio| —
+    so consumers thresholding on the old mean-scaled value must divide
+    by n_feats (both are one expression away given the output columns).
+    The sum matches DSIR's log-importance-weight definition.
     """
     feats = docs.select(
         F.col(id_col),

@@ -231,20 +231,24 @@ def ivf_search(
                 sel = cells == c
                 sub_ids, sub = ids[sel], cmat[sel]
                 scores = q[1] @ sub.T  # (nq_cell, n_cell_rows)
-                top = min(k, scores.shape[1])
-                if top < scores.shape[1]:
-                    # vectorized per-row top-k on raw scores; a raw-float
-                    # tie AT the boundary may admit either twin — the
-                    # approximate-search contract (exact paths keep the
-                    # full 6-dp/id tie-break)
-                    idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+                # ties-inclusive per-row threshold on the CONTRACT's 6-dp
+                # rounded scores: admit every candidate whose rounded
+                # score >= the k-th largest rounded score in this batch's
+                # cell slice.  Any global-top-k row clears its local
+                # threshold (k rows strictly above it locally would bury
+                # it globally too), so the admitted set is a superset of
+                # the global answer no matter how rows are partitioned —
+                # the downstream (rounded desc, id asc) rank passes then
+                # truncate deterministically.
+                rs = np.round(scores, 6)
+                if k < rs.shape[1]:
+                    kth = -np.partition(-rs, k - 1, axis=1)[:, k - 1 : k]
+                    qi, ci = np.nonzero(rs >= kth)
                 else:
-                    idx = np.broadcast_to(
-                        np.arange(top), (scores.shape[0], top)
-                    )
-                out_q.append(np.repeat(q[0], top))
-                out_i.append(sub_ids[idx].ravel())
-                out_s.append(np.take_along_axis(scores, idx, axis=1).ravel())
+                    qi, ci = np.nonzero(np.ones_like(rs, dtype=bool))
+                out_q.append(q[0][qi])
+                out_i.append(sub_ids[ci])
+                out_s.append(scores[qi, ci])
         if not out_q:
             yield pd.DataFrame({query_id: [], corpus_id: [], "score": []})
             return

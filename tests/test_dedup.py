@@ -453,14 +453,14 @@ def test_duplicate_span_excise_rejects_invalid_id_domain(spark):
     neg = spark.createDataFrame(
         [(-1, base.strip()), (2, base.strip())], "doc_id long, text string"
     )
-    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as ei:
         D.duplicate_span_excise(neg, n=5, min_count=2).collect()
     assert "duplicate_span_excise" in str(ei.value)
 
     # tiny pos_pack makes a normal doc overflow the position domain
     ok = spark.createDataFrame([(1, base.strip()), (2, base.strip())],
                                "doc_id long, text string")
-    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as ei:
         D.duplicate_span_excise(ok, n=5, min_count=2, pos_pack=4).collect()
     assert "duplicate_span_excise" in str(ei.value)
 

@@ -112,16 +112,34 @@ def main() -> int:
             continue
         timer = None
         fired = []
+        done = []
         if oracle_timeout:
             import threading
 
-            timer = threading.Timer(
-                oracle_timeout, lambda: (fired.append(1), con.interrupt())
-            )
+            def _interrupt():
+                # per-query done flag: if con.sql already returned, do NOT
+                # set the connection's interrupt flag — it would abort the
+                # NEXT query and mis-attribute the failure (ADVICE r4)
+                if not done:
+                    fired.append(1)
+                    con.interrupt()
+
+            timer = threading.Timer(oracle_timeout, _interrupt)
             timer.start()
         try:
             ddf = con.sql(ORACLES[name]).df()
+            done.append(1)
+            if timer:
+                timer.cancel()
+            if fired:
+                # timer raced the return: absorb a possibly-stale
+                # interrupt flag on a throwaway statement
+                try:
+                    con.sql("select 1").df()
+                except Exception:  # noqa: BLE001
+                    pass
         except Exception as e:  # noqa: BLE001
+            done.append(1)
             if fired:
                 print(f"SKIP {name}: oracle_timeout after {oracle_timeout:.0f}s "
                       f"(spark side ok: {len(sdf)} rows, {took:.1f}s)")
