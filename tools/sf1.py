@@ -43,37 +43,50 @@ FACTS = {
 DIMS = ["supplier", "nation", "region", "part"]
 
 
-def build() -> None:
+def write_single_parquet(df, dest_dir: str, name: str) -> None:
+    """Write df as ONE parquet file `dest_dir/name.parquet`, matching
+    the driver fixtures' layout (DuckDB oracle reads the same path;
+    Spark splits by row group)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    tmp = f"{dest_dir}/_tmp_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+    final = f"{dest_dir}/{name}.parquet"
+    if os.path.isdir(final) or os.path.isfile(final):
+        _shutil.rmtree(final, ignore_errors=True)
+        if os.path.isfile(final):
+            os.remove(final)
+    os.replace(part, final)
+    _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def replicate_fact(spark, src: str, name: str, id_cols: list[str], copies: int):
+    """Union `copies` id-offset copies of src/name (the stress.py recipe:
+    FK columns offset in lockstep so joins stay consistent per copy)."""
     from pyspark.sql import functions as F
 
     from crawling_vectordb_llm_spark.catalog import read_table
+
+    df = read_table(spark, src, name)
+    out = None
+    for i in range(copies):
+        c = df
+        for col in id_cols:
+            c = c.withColumn(col, F.col(col) + i * STRIDE)
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def build() -> None:
     from crawling_vectordb_llm_spark.session import get_spark
 
     spark = get_spark("sf1_build")
     os.makedirs(DEST, exist_ok=True)
     for name, id_cols in FACTS.items():
-        df = read_table(spark, SRC, name)
-        out = None
-        for i in range(COPIES):
-            c = df
-            for col in id_cols:
-                c = c.withColumn(col, F.col(col) + i * STRIDE)
-            out = c if out is None else out.unionByName(c)
-        # single file per table, matching the driver fixtures' layout
-        # (DuckDB oracle reads the same path; Spark splits by row group)
-        tmp = f"{DEST}/_tmp_{name}"
-        out.coalesce(1).write.mode("overwrite").parquet(tmp)
-        import glob as _glob
-        import shutil as _shutil
-
-        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-        final = f"{DEST}/{name}.parquet"
-        if os.path.isdir(final) or os.path.isfile(final):
-            _shutil.rmtree(final, ignore_errors=True)
-            if os.path.isfile(final):
-                os.remove(final)
-        os.replace(part, final)
-        _shutil.rmtree(tmp, ignore_errors=True)
+        out = replicate_fact(spark, SRC, name, id_cols, COPIES)
+        write_single_parquet(out, DEST, name)
         print(f"built {name}: {spark.read.parquet(f'{DEST}/{name}.parquet').count()} rows")
     for name in DIMS:
         import shutil as _shutil

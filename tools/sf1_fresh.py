@@ -1,0 +1,147 @@
+"""Fresh-entropy sf1 scale run (VERDICT r4 #1).
+
+The r4 slope table (tools/sf1.py, BENCH_SF1_r04.json) replicated sf0.1
+10x, so every document had 10 genuine copies and the dedup/CC family's
+inputs grew quadratically — their slopes measured duplicate density,
+not scaling.  This tool builds TWO fixture dirs whose only difference
+is scale, with seeded-unique content and a controlled ~7%/~5% dup rate
+(sources/synthetic_documents.py):
+
+  /tmp/sf0.1_fresh  relational facts = driver sf0.1 verbatim;
+                    documents (5k) / embeddings (2k) fresh-generated
+  /tmp/sf1_fresh    relational facts replicated 10x (tools/sf1.py
+                    recipe); documents (50k) / embeddings (20k)
+                    fresh-generated under the SAME law
+
+so ratio(fresh1 / fresh0.1) isolates data growth: the duplicate RATE is
+held constant while volume grows 10x.  A scale-correct dedup query's
+wall ratio now stays ~data growth (the r4 exception `dedup_clusters`
+10.27x was edge-list growth by construction, not a plan defect — this
+fixture removes the ambiguity).
+
+  python tools/sf1_fresh.py build   # materialize both dirs
+  python tools/sf1_fresh.py bench   # bench.py on both in clean JVMs;
+                                    #   writes BENCH_SF1_r05.json
+  python tools/sf1_fresh.py selfcheck [args]  # full oracle gate at
+                                    #   fresh sf1 (scale-tiered oracles)
+
+Run alone on the box (bench noise rules, MEMORY.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.sf1 import (  # noqa: E402
+    COPIES,
+    DIMS,
+    SRC,
+    replicate_fact,
+    run_bench,
+    write_single_parquet,
+)
+
+SMALL = os.environ.get("SPARK_GRAFT_SF01F_DIR", "/tmp/sf0.1_fresh")
+BIG = os.environ.get("SPARK_GRAFT_SF1F_DIR", "/tmp/sf1_fresh")
+
+# relational facts keep the replication recipe — their slopes are not
+# distorted by content duplication (joins/aggs don't pair rows by text)
+REL_FACTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+}
+DOC_ROWS, EMB_ROWS = 5_000, 2_000  # driver sf0.1 row counts (1x)
+
+
+def build() -> None:
+    from crawling_vectordb_llm_spark.session import get_spark
+    from crawling_vectordb_llm_spark.sources.synthetic_documents import (
+        fresh_documents,
+        fresh_embeddings,
+    )
+
+    spark = get_spark("sf1_fresh_build")
+    for dest, mult in ((SMALL, 1), (BIG, 10)):
+        os.makedirs(dest, exist_ok=True)
+        for name, id_cols in REL_FACTS.items():
+            if mult == 1:
+                shutil.copyfile(f"{SRC}/{name}.parquet", f"{dest}/{name}.parquet")
+            else:
+                out = replicate_fact(spark, SRC, name, id_cols, COPIES)
+                write_single_parquet(out, dest, name)
+            n = spark.read.parquet(f"{dest}/{name}.parquet").count()
+            print(f"{dest}: {name} {n} rows")
+        for name in DIMS:
+            shutil.copyfile(f"{SRC}/{name}.parquet", f"{dest}/{name}.parquet")
+        docs = fresh_documents(spark, DOC_ROWS * mult, partitions=32)
+        # column order must match the driver fixture exactly (selfcheck
+        # compares schemas column-by-column after sorting, but bench
+        # queries select by name — order kept for byte-level parity)
+        write_single_parquet(
+            docs.select("doc_id", "text", "lang", "source", "n_chars"),
+            dest,
+            "documents",
+        )
+        embs = fresh_embeddings(spark, EMB_ROWS * mult, partitions=32)
+        write_single_parquet(
+            embs.select("vec_id", "embedding", "label"), dest, "embeddings"
+        )
+        for name in ("documents", "embeddings"):
+            n = spark.read.parquet(f"{dest}/{name}.parquet").count()
+            print(f"{dest}: {name} {n} rows (fresh)")
+
+
+def bench() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    small = run_bench(SMALL)
+    print(f"fresh sf0.1 total {small['value']}s")
+    big = run_bench(BIG)
+    print(f"fresh sf1 total {big['value']}s")
+    ratios = {
+        q: round(big["queries"][q] / max(small["queries"][q], 1e-9), 2)
+        for q in big["queries"]
+    }
+    artifact = {
+        "fixture": "fresh-entropy (unique seeded content, ~7% doc / ~5% "
+        "vector controlled dup rate; sources/synthetic_documents.py)",
+        "sf0.1_fresh": small,
+        "sf1_fresh": big,
+        "ratio_sf1_over_sf0.1": ratios,
+        "data_growth": 10,
+        "flag_threshold": 12.0,
+        "flagged": sorted(
+            [q for q, r in ratios.items() if r > 12.0],
+            key=lambda q: -ratios[q],
+        ),
+    }
+    path = os.path.join(repo, "BENCH_SF1_r05.json")
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"\nwrote {path}")
+    print("\n| query | fresh sf0.1 s | fresh sf1 s | ratio (data 10x) |")
+    print("|---|---|---|---|")
+    for q, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
+        print(f"| {q} | {small['queries'][q]} | {big['queries'][q]} | {r}x |")
+    print(f"\nflagged (> 12x): {artifact['flagged']}")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "build"
+    if cmd == "build":
+        build()
+    elif cmd == "bench":
+        bench()
+    elif cmd == "selfcheck":
+        os.execv(
+            sys.executable,
+            [sys.executable, "tools/selfcheck.py", BIG] + sys.argv[2:],
+        )
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
