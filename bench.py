@@ -152,6 +152,18 @@ def main() -> None:
         ingest_s = min(ingest_s, time.time() - t0)
         shutil.rmtree(out, ignore_errors=True)
 
+    # streaming micro-bench (VERDICT r4 #4): throughput/latency/state for
+    # the two stateful paths.  Reported under its own key and NOT added
+    # to "value" so headline comparisons stay like-for-like round over
+    # round.  Guarded: a streaming-env failure must not sink the bench.
+    streaming: dict | str
+    try:
+        from tools.streaming_bench import run as run_streaming_bench
+
+        streaming = run_streaming_bench(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        streaming = f"skipped: {e}"
+
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -163,6 +175,7 @@ def main() -> None:
                 "sf": sf,
                 "n": n_runs,
                 "ingest_rows_per_s": round(n_docs / ingest_s, 1),
+                "streaming": streaming,
             }
         )
     )

@@ -348,11 +348,29 @@ def pq_knn_rerank(
     the default shortlist, asserted by the recall tests, and oracle-checked
     against DuckDB exact kNN in the suite.
     """
-    # shortlist is the recall knob (FAISS's `nprobe`-analog for flat PQ):
-    # on near-random vectors (worst case for PQ — no cluster structure to
-    # exploit) the true top-3's worst ADC rank measured ~65/500, so 128
-    # gives 2x margin; production tunes this against a recall@k probe set.
-    shortlist = shortlist or max(128, 4 * k)
+    # shortlist is the recall knob (FAISS's `nprobe`-analog for flat PQ).
+    # Auto mode (shortlist=None) derives it from CORPUS SIZE and the
+    # measured ADC-vs-exact overlap margin instead of a fixed constant
+    # (VERDICT r4 #5).  Measured on the isotropic hash-embedding
+    # fixtures — no cluster structure, PQ's provable worst case — at
+    # 64 codes the worst true-top-k ADC rank is ~7.5% of the corpus at
+    # n=2000 but has heavy small-sample variance below ~1k rows (21.6%
+    # of n=500 on one fixture, 4% on another: a handful of outlier
+    # codeword collisions dominates tiny corpora), so the rule is a
+    # fraction with a small-n floor:
+    #   shortlist = max(4k, 256, ceil(0.15 * n))
+    # 0.15 = 2x the measured large-n fraction; 256 = 2.4x the worst
+    # measured small-n rank.  Tracks n instead of over-fetching every
+    # corpus with a fixed 512.  Calibrated for n_codes >= 64; coarser
+    # codebooks have a far worse fraction (~55% at 16 codes) and
+    # callers must size the shortlist themselves (re-margining history
+    # in vector_suite.q_pq_knn_rerank).
+    if shortlist is None:
+        if n_codes >= 64:
+            n = corpus.count()
+            shortlist = max(4 * k, 256, -(-15 * n // 100))
+        else:
+            shortlist = max(128, 4 * k)
     books = pq_train(corpus, m_subvectors, n_codes, corpus_vec, seed=seed)
     encoded = pq_encode(corpus, books, corpus_id, corpus_vec)
     cands = pq_adc_shortlist(

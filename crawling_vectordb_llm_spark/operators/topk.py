@@ -28,3 +28,33 @@ def grouped_topk(
     """
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def global_topk_ranked(
+    df: DataFrame,
+    asc_key: list[Column],
+    payload: list[str],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k over the WHOLE table with a dense 1..k rank and NO global
+    window (VERDICT r4 #8): `orderBy().limit(k)` executes as
+    TakeOrdered (per-partition heaps, no full sort/shuffle), the <= k
+    survivors aggregate into ONE sorted array, and posexplode assigns
+    rank = position + 1 — an aggregate + generate where a
+    single-partition WindowExec used to be.
+
+    `asc_key`: Columns forming the ASCENDING composite total order
+    (negate numeric columns for descending); must be total (ties broken
+    by a unique column) for the rank to be deterministic.  `payload`:
+    column names carried through to the output, in output order.
+    """
+    top = df.orderBy(*asc_key).limit(k)
+    row = F.struct(
+        *[c.alias(f"__k{i}") for i, c in enumerate(asc_key)],
+        F.struct(*payload).alias("__p"),
+    )
+    arr = top.agg(F.sort_array(F.collect_list(row)).alias("__a"))
+    return arr.select(F.posexplode("__a").alias("__pos", "__r")).select(
+        "__r.__p.*", (F.col("__pos") + 1).cast("int").alias(rank_col)
+    )

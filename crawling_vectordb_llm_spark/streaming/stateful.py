@@ -144,10 +144,18 @@ class UserTotalsProcessor:
         return _P()
 
 
-def run_tws_user_totals(spark: SparkSession, parquet_path: str, max_files: int = 1):
+def run_tws_user_totals(
+    spark: SparkSession,
+    parquet_path: str,
+    max_files: int = 1,
+    return_query: bool = False,
+):
     """Streaming per-user totals through transformWithStateInPandas.
     Returns the raw memory-sink DataFrame (one emission per key per
     micro-batch touching it); callers reduce to the max-n row per key.
+    With return_query=True returns (DataFrame, finished StreamingQuery)
+    so callers can read progress metrics (recentProgress: per-batch
+    durations, state-store rows) — the streaming bench's data source.
     The RocksDB state store is required by the API and set on THIS
     session and restored afterwards (other streaming queries keep the
     default HDFS-backed provider)."""
@@ -201,6 +209,8 @@ def run_tws_user_totals(spark: SparkSession, parquet_path: str, max_files: int =
             .start()
         )
         q.awaitTermination()
+        if return_query:
+            return spark.table(name), q
         return spark.table(name)
     finally:
         if prior is None:

@@ -827,8 +827,8 @@ def q_session_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sessionize`, each session folds to its ordered event-type PATH
     string, and the top-20 paths are ranked with a contiguous
     view>click>purchase funnel flag.  Ordering inside a path is pinned
-    by (ts, event_id) on both engines; the top-20 is a WindowGroupLimit,
-    not a full sort."""
+    by (ts, event_id) on both engines; the top-20 is a TakeOrdered +
+    sorted-array posexplode, not a full sort or a global window."""
     from pyspark.sql import Window
 
     ev = read_table(spark, sf_dir, "events")
@@ -854,14 +854,15 @@ def q_session_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "has_funnel", F.col("path").contains("view>click>purchase")
     )
-    # global window over the aggregated per-path table (small), not the
-    # raw sessions — the WindowExec warning is intentional gate-scale
-    # noise, not a scale bug (VERDICT r3 nit)
-    rw = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return (
-        agg.withColumn("rank", F.row_number().over(rw).cast("int"))
-        .where(F.col("rank") <= 20)
-        .select("path", "n_sessions", "has_funnel", "rank")
+    # top-20 via TakeOrdered + sorted-array posexplode — no global
+    # WindowExec (VERDICT r4 #8)
+    from crawling_vectordb_llm_spark.operators.topk import global_topk_ranked
+
+    return global_topk_ranked(
+        agg,
+        [(-F.col("n_sessions")).alias("neg_sessions"), F.col("path")],
+        ["path", "n_sessions", "has_funnel"],
+        20,
     )
 
 

