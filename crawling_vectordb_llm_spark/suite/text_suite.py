@@ -490,8 +490,8 @@ WITH toks AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_tokens,
-       ROUND(CAST(SUM(CAST(ROUND(lp, 6) AS DECIMAL(22,6))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_logprob
+       CAST(SUM(CAST(ROUND(lp, 6) AS DECIMAL(22,6))) AS DOUBLE)
+         AS sum_logprob
 FROM scored GROUP BY doc_id
 """,
 )
@@ -501,8 +501,11 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-probability — low scores flag gibberish, high scores flag
     boilerplate.  The vocabulary table is small (Zipf: unique terms <<
     tokens) and broadcasts back onto the token stream; per-token logprobs
-    are rounded to 6 dp and summed as decimals so the grouped mean is
-    order-independent and oracle-exact."""
+    are rounded to 6 dp and summed as decimals, and the EXACT SUM is the
+    output (with n_tokens; the mean is one division away) — a rounded
+    sum/count mean hits the 6-dp midpoint lottery whenever count divides
+    the scaled sum into a ...5 tail, which the fresh-entropy sf1 run
+    caught on ~2/50k docs (same class and fix as dsir_importance, r4)."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
@@ -515,9 +518,7 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_logprob"
-        ),
+        F.sum("lp").cast("double").alias("sum_logprob"),
     )
 
 
@@ -621,7 +622,7 @@ WITH toks AS (
   CROSS JOIN tot t
 )
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+       CAST(SUM(lp) AS DOUBLE) AS sum_logprob
 FROM scored GROUP BY doc_id
 """,
 )
@@ -634,8 +635,10 @@ def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the bigram/unigram/tail count tables are Zipf-small
     (vocab² bounded by observed pairs) and broadcast back onto the
     bigram stream; the corpus shuffles once for the final per-doc mean.
-    Per-bigram logprobs round at 6 dp and sum as decimals (registry
-    determinism rules)."""
+    Per-bigram logprobs round at 6 dp and sum as decimals, and the
+    EXACT SUM is the output (with n_bigrams) — the rounded sum/count
+    mean was a 6-dp midpoint lottery the fresh-entropy sf1 run caught
+    (see unigram_logprob_score)."""
     d = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     m = F.size(toks) - 1
@@ -675,9 +678,7 @@ def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_logprob"
-        ),
+        F.sum("lp").cast("double").alias("sum_logprob"),
     )
 
 

@@ -998,13 +998,21 @@ def q_hamming_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn_rerank_shortlist).  The oracle is EXACT kNN, so this entry is a
     recall=1.0 gate exactly like quantized_knn_rerank — if the sign-bit
     stage ever sheds a true top-3 neighbor at the fixture scale, the
-    hash comparison fails.  Shortlist 200 (10% over-fetch at sf0.01)
-    absorbs the crudeness of 1-bit quantization; the knob trades scan
-    bytes (16/vector) against rerank reads, same economics as int8/PQ."""
+    hash comparison fails.  Shortlist is SCALE-AWARE since r5:
+    max(1024, ceil(0.15 n)).  The old fixed 200 was latently
+    under-margined — measured worst true-top-3 hamming rank is 144/500
+    (sf0.01, the only scale the driver oracle-checks), 640/2000
+    (sf0.1, never oracle-checked), 1270/20000 on fresh-entropy sf1
+    (0.064 n: the 64-bit sketch's contrast improves with n) — and the
+    r4 replicated sf1 masked it because every vector had 10 hamming-0
+    copies.  The floor covers every measured fixture; the 0.15 fraction
+    (2.4x the sf1-fresh worst) governs at scale.  Economics unchanged:
+    stage 1 scans 16 B/vector vs 256, stage 2 reranks shortlist only."""
     from crawling_vectordb_llm_spark.operators.knn import knn_rerank_shortlist
     from crawling_vectordb_llm_spark.operators.topk import grouped_topk
 
     emb = _emb(spark, sf_dir)
+    shortlist = max(1024, -(-15 * emb.count() // 100))
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1018,7 +1026,7 @@ def q_hamming_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", V.hamming_distance("qw", "w").alias("h")
     )
     cand = grouped_topk(
-        scored, ["query_id"], [F.asc("h"), F.asc("vec_id")], 200
+        scored, ["query_id"], [F.asc("h"), F.asc("vec_id")], shortlist
     ).select("query_id", "vec_id")
     return knn_rerank_shortlist(
         cand, queries, emb, k=TOP_K, corpus_id="vec_id"
@@ -1193,14 +1201,21 @@ def q_ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_ivfpq_recall_gate", oracle=_GATE_ORACLE)
 def q_ann_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ graduated to an oracle gate: coarse pruning (12/16 cells) +
-    residual PQ ADC + shortlist-256 exact rerank must keep mean recall@10
-    >= 0.65 (measured 0.79-0.96 across fixture sfs; 0.92 at the checked
-    sf0.01)."""
+    residual PQ ADC + scale-aware exact rerank must keep mean recall@10
+    >= 0.65.  Shortlist = max(256, ceil(0.15 n)) since r5: the fixed 256
+    was sized for <=2k corpora (measured 0.79-0.96 across driver sfs,
+    0.92 at the checked sf0.01) but collapsed to 0.27 on the 20k
+    fresh-entropy isotropic sf1 fixture — 16-code residual ADC keeps a
+    roughly corpus-proportional candidate band, so the shortlist must
+    track n (measured at n=20k: 256 -> 0.27, 2000 -> 0.67, 3000 -> 0.76;
+    isotropic geometry is ADC's worst case, clustered corpora sit far
+    higher — SCALE.md clustered measurement)."""
     from crawling_vectordb_llm_spark.operators.pq import ivfpq_topk
 
     emb = _emb(spark, sf_dir)
     ann = ivfpq_topk(
-        _gate_queries(emb), emb, k=10, n_centroids=16, n_probe=12, shortlist=256
+        _gate_queries(emb), emb, k=10, n_centroids=16, n_probe=12,
+        shortlist=max(256, -(-15 * emb.count() // 100)),
     )
     return _recall_gate(ann, _exact_top10(emb), n_queries=10, k=10, threshold=0.65)
 
