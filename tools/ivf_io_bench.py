@@ -5,9 +5,11 @@ pruning was "sub-second noise either way" at 400 KB cells — too small
 for I/O to matter.  This builds a ~2M x 64 clustered corpus (~0.6 GB
 parquet, ~5 MB/cell at 128 cells — 12x the r4 cell size), writes it
 partitioned by centroid_id (the plans/index_build.py layout), and
-measures BYTES READ (Spark REST stage inputBytes, same machinery as
-tools/skew_bench.py) plus wall for `ivf_search` with selective query
-batches vs the exact full-scan kNN:
+measures BYTES READ (the SQL plan-graph 'size of files read' metric
+via the REST API — the authoritative post-partition-pruning scan set;
+stage-level inputBytes underreports on local filesystems) plus
+median-of-3 wall for `ivf_search` with single-cluster query batteries
+vs the exact full-scan kNN:
 
   - bytes-read for the pruned scan should track the probed-cell
     fraction (partition pruning happens BEFORE any byte is read), while
@@ -56,29 +58,55 @@ def build_spark() -> SparkSession:
     )
 
 
-def next_stage_id(app_id: str) -> int:
+def _sql_url(app_id: str) -> str:
+    return (
+        f"http://localhost:4040/api/v1/applications/{app_id}/sql"
+        "?length=1000&details=true&planDescription=false"
+    )
+
+
+def next_sql_id(app_id: str) -> int:
     import requests
 
-    st = requests.get(
-        f"http://localhost:4040/api/v1/applications/{app_id}/stages",
-        timeout=10,
-    ).json()
-    return 1 + max((s["stageId"] for s in st), default=-1)
+    qs = requests.get(_sql_url(app_id), timeout=10).json()
+    return 1 + max((q["id"] for q in qs), default=-1)
 
 
-def input_bytes_since(app_id: str, min_stage: int) -> int:
-    """Sum stage inputBytes across all stage attempts >= min_stage."""
+def _parse_size(v: str) -> float:
+    """Parse the SQL UI's human size ('34.4 MiB', '901.2 KiB', '12.0 B')."""
+    num, unit = v.split()
+    return float(num) * {
+        "B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40
+    }[unit]
+
+
+def scan_stats_since(app_id: str, min_sql_id: int) -> tuple[int, float]:
+    """(files read, bytes read) summed over every parquet Scan node of
+    SQL executions >= min_sql_id.  Stage-level inputBytes underreports
+    on the local filesystem (Hadoop FS statistics quirk); the SQL
+    plan-graph metrics 'number of files read' / 'size of files read'
+    are authoritative — they are exactly the post-partition-pruning
+    scan set."""
     import requests
 
-    total = 0
-    st = requests.get(
-        f"http://localhost:4040/api/v1/applications/{app_id}/stages",
-        timeout=10,
-    ).json()
-    for s in st:
-        if s["stageId"] >= min_stage:
-            total += s.get("inputBytes", 0)
-    return total
+    files, size = 0, 0.0
+    for q in requests.get(_sql_url(app_id), timeout=10).json():
+        if q["id"] < min_sql_id:
+            continue
+        for n in q.get("nodes", []):
+            if "Scan" not in n["nodeName"]:
+                continue
+            for m in n.get("metrics", []):
+                if m["name"] == "number of files read":
+                    files += int(m["value"].replace(",", ""))
+                elif m["name"] == "size of files read":
+                    size += _parse_size(m["value"])
+    return files, size
+
+
+def median3(fn):
+    walls = sorted(timed(fn)[0] for _ in range(3))
+    return walls[1]
 
 
 def timed(fn):
@@ -129,14 +157,19 @@ def main(n: int = 2_000_000) -> None:
         )
 
         print(
-            "| query batch | probed cells | cell fraction | GB read "
-            "(pruned) | GB read (full) | bytes ratio | wall s pruned | "
+            "| query battery | probed cells | MB read (pruned) | files "
+            "(pruned) | MB read (full) | bytes ratio | wall s pruned | "
             "wall s full | wall ratio |"
         )
         print("|---|---|---|---|---|---|---|---|---|")
+        # realistic serving batteries: every query from ONE topic
+        # cluster (label = vec_id % k_true), so the probe set stays
+        # n_probe-sized however large the batch — the pruning regime a
+        # topical lookup workload actually sees
         for nq in (5, 20, 100):
             qs = (
-                emb.where(F.col("vec_id") < nq)
+                emb.where((F.col("vec_id") % k_true == 0)
+                          & (F.col("vec_id") < nq * k_true))
                 .select(
                     F.col("vec_id").alias("query_id"),
                     F.col("embedding").alias("query_vec"),
@@ -149,7 +182,6 @@ def main(n: int = 2_000_000) -> None:
             probed = np.unique(
                 np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
             )
-            frac = len(probed) / n_cells
 
             def pruned():
                 return I.ivf_search(
@@ -170,16 +202,18 @@ def main(n: int = 2_000_000) -> None:
 
             pruned(), full()  # warm plan compile (page cache stays warm
             # for BOTH paths — the comparison is scan volume, not disk)
-            s0 = next_stage_id(app_id)
-            tp, _ = timed(pruned)
-            bp = input_bytes_since(app_id, s0)
-            s1 = next_stage_id(app_id)
-            tf, _ = timed(full)
-            bf = input_bytes_since(app_id, s1)
+            tp, tf = median3(pruned), median3(full)
+            s0 = next_sql_id(app_id)
+            pruned()
+            fp, bp = scan_stats_since(app_id, s0)
+            s1 = next_sql_id(app_id)
+            full()
+            _, bf = scan_stats_since(app_id, s1)
             print(
-                f"| {nq} queries | {len(probed)}/{n_cells} | {frac:.3f} | "
-                f"{bp / 1e9:.3f} | {bf / 1e9:.3f} | {bp / max(bf, 1):.3f} | "
-                f"{tp:.2f} | {tf:.2f} | {tp / tf:.2f}x |"
+                f"| {nq} queries (1 cluster) | {len(probed)}/{n_cells} | "
+                f"{bp / 2**20:.1f} | {fp} | {bf / 2**20:.1f} | "
+                f"{bp / max(bf, 1):.3f} | {tp:.2f} | {tf:.2f} | "
+                f"{tp / tf:.2f}x |"
             )
     finally:
         shutil.rmtree(base, ignore_errors=True)
