@@ -238,19 +238,27 @@ def ivf_search(
                 sel = cells == c
                 sub_ids, sub = ids[sel], cmat[sel]
                 scores = q[1] @ sub.T  # (nq_cell, n_cell_rows)
-                # ties-inclusive per-row threshold on the CONTRACT's 6-dp
-                # rounded scores: admit every candidate whose rounded
-                # score >= the k-th largest rounded score in this batch's
-                # cell slice.  Any global-top-k row clears its local
-                # threshold (k rows strictly above it locally would bury
-                # it globally too), so the admitted set is a superset of
-                # the global answer no matter how rows are partitioned —
-                # the downstream (rounded desc, id asc) rank passes then
-                # truncate deterministically.
+                # exact per-row rank cap on the CONTRACT's ordering
+                # (6-dp rounded score desc, id asc): admit each query's
+                # local top-k under that total order.  Any global-top-k
+                # row has local rank < k (every row ahead of it locally
+                # is ahead of it globally too), so the admitted set is a
+                # superset of the global answer no matter how rows are
+                # partitioned — and, unlike the previous ties-inclusive
+                # threshold, output is bounded at nq*k even when a whole
+                # duplicate-heavy cell slice ties at the boundary score
+                # (ADVICE r5).  Columns are pre-sorted by id asc so a
+                # STABLE per-row argsort on -rs realizes the id-asc
+                # tiebreak exactly; an argpartition would split boundary
+                # ties arbitrarily and break the superset guarantee.
                 rs = np.round(scores, 6)
                 if k < rs.shape[1]:
-                    kth = -np.partition(-rs, k - 1, axis=1)[:, k - 1 : k]
-                    qi, ci = np.nonzero(rs >= kth)
+                    id_order = np.argsort(sub_ids, kind="stable")
+                    top = np.argsort(
+                        -rs[:, id_order], axis=1, kind="stable"
+                    )[:, :k]
+                    qi = np.repeat(np.arange(rs.shape[0]), k)
+                    ci = id_order[top.ravel()]
                 else:
                     qi, ci = np.nonzero(np.ones_like(rs, dtype=bool))
                 out_q.append(q[0][qi])

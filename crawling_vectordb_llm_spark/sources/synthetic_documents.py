@@ -20,7 +20,11 @@ Duplicate model (documents): ids are classed by `id % 100` —
   93-96  exact duplicate of a seeded-random original ("master")
   97-99  near duplicate: master's words with one seeded position
          replaced by the 'dup' marker token (the driver uses the same
-         marker), so each near-dup is distinct but high-Jaccard
+         marker), so each near-dup is distinct W.H.P. but high-Jaccard.
+         (Two near-dups that draw the same master AND the same replaced
+         position produce identical texts; at n masters x 10 positions
+         the collision probability is negligible but not zero, and only
+         originals' uniqueness is asserted by tests — ADVICE r5.)
 Masters are drawn uniformly over ALL originals, so cluster sizes stay
 O(1) (Poisson, mean ~1.08) and the near-dup edge list grows LINEARLY in
 n — the property the r4 replicated fixture lacked.

@@ -73,11 +73,20 @@ def next_sql_id(app_id: str) -> int:
 
 
 def _parse_size(v: str) -> float:
-    """Parse the SQL UI's human size ('34.4 MiB', '901.2 KiB', '12.0 B')."""
-    num, unit = v.split()
-    return float(num) * {
+    """Parse the SQL UI's human size ('34.4 MiB', '901.2 KiB', '12.0 B').
+
+    Some plan-graph metrics render as 'total (min, med, max)' composites;
+    parse only the LEADING '<num> <unit>' pair instead of a strict
+    two-token unpack so those don't kill the bench (ADVICE r5).
+    """
+    import re
+
+    m = re.match(r"\s*([0-9.eE+-]+)\s+(B|KiB|MiB|GiB|TiB)\b", v)
+    if not m:
+        raise ValueError(f"unparseable size metric: {v!r}")
+    return float(m.group(1)) * {
         "B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40
-    }[unit]
+    }[m.group(2)]
 
 
 def scan_stats_since(app_id: str, min_sql_id: int) -> tuple[int, float]:

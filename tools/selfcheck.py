@@ -210,7 +210,11 @@ def main() -> int:
             ddf = q_con.sql(ORACLES[name]).df()
             done.append(1)
             if timer:
+                # cancel() cannot stop an already-running callback: join()
+                # so an in-flight _interrupt finishes before we read
+                # `fired`, making the absorb path authoritative (ADVICE r5)
                 timer.cancel()
+                timer.join()
             if fired:
                 # timer raced the return: absorb a possibly-stale
                 # interrupt flag on a throwaway statement
@@ -220,6 +224,9 @@ def main() -> int:
                     pass
         except Exception as e:  # noqa: BLE001
             done.append(1)
+            if timer:
+                timer.cancel()
+                timer.join()
             if fired:
                 print(f"SKIP {name}: oracle_timeout after {oracle_timeout:.0f}s "
                       f"(spark side ok: {len(sdf)} rows, {took:.1f}s)")
