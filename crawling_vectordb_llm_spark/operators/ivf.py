@@ -30,7 +30,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+from crawling_vectordb_llm_spark.operators.topk import (
+    DEFAULT_MAX_QUERY_ROWS,
+    collect_query_rows,
+    grouped_topk,
+)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -187,6 +191,7 @@ def ivf_search(
     query_vec: str = "query_vec",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Probe the n_probe nearest cells per query, exact-score only those
     cells' vectors, return top-k.
@@ -207,7 +212,9 @@ def ivf_search(
     1/(n_cells/n_probe) of the exact path's flops AND ships less than
     it.  With a centroid-partitioned table the cell filter additionally
     becomes partition pruning at the scan."""
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = collect_query_rows(
+        queries, query_id, query_vec, max_query_rows, caller="ivf_search"
+    )
     qids = np.array([r[0] for r in qrows])
     qmat = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))
     probe_cells = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]

@@ -41,7 +41,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crawling_vectordb_llm_spark.operators.knn import knn_rerank_shortlist
-from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+from crawling_vectordb_llm_spark.operators.topk import (
+    DEFAULT_MAX_QUERY_ROWS,
+    collect_query_rows,
+    grouped_topk,
+)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -148,6 +152,7 @@ def pq_adc_shortlist(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     corpus_id: str = "vec_id",
+    max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Stage 1: ADC scoring over the codes table.
 
@@ -159,7 +164,10 @@ def pq_adc_shortlist(
     shortlist per query; global top-k happens after the exact rerank.
     """
     spark = queries.sparkSession
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = collect_query_rows(
+        queries, query_id, query_vec, max_query_rows,
+        caller="pq_adc_shortlist",
+    )
     qids = np.array([r[0] for r in qrows])
     qmat = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))
     m, n_codes, sub_d = codebooks.shape
@@ -209,6 +217,7 @@ def ivfpq_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     seed: int = 42,
+    max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """IVF-PQ (Jegou et al. 2011; FAISS IndexIVFPQ) — the full 100 TB ANN
     stack in one operator: coarse k-means cells prune WHICH partitions are
@@ -291,7 +300,9 @@ def ivfpq_topk(
     )
 
     # --- probe cells per query, ADC-score only those cells ---
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = collect_query_rows(
+        queries, query_id, query_vec, max_query_rows, caller="ivfpq_topk"
+    )
     qids = np.array([r[0] for r in qrows])
     qmat = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))
     q_cent = qmat @ cents.T  # (nq, n_centroids): the q.centroid term

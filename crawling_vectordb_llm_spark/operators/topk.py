@@ -58,3 +58,42 @@ def global_topk_ranked(
     return arr.select(F.posexplode("__a").alias("__pos", "__r")).select(
         "__r.__p.*", (F.col("__pos") + 1).cast("int").alias(rank_col)
     )
+
+
+# Default bound for query-side collects across the ANN ladder.  The
+# bounded-collect contract (knn.py docstrings; reference issues one query
+# text at a time, main_server.py:41) assumes <= ~100k queries; 1M matches
+# knn._threshold_join_broadcast's max_broadcast_rows default and is still
+# well under driver memory at 1024 dims (float64 1M x 1024 = 8 GB would be
+# too big — but the guard's point is a CLEAR error before that allocation,
+# not a silent OOM; lower it per-call for wide vectors).
+DEFAULT_MAX_QUERY_ROWS = 1_000_000
+
+
+def collect_query_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_rows: int = DEFAULT_MAX_QUERY_ROWS,
+    caller: str = "knn",
+) -> list:
+    """Collect the small (query) side of an ANN operator with an explicit
+    runtime bound (VERDICT r5 #3: the contract was docstring-only).
+
+    One job: limit(max_rows + 1) caps what ever reaches the driver, so an
+    oversized query relation raises ValueError after materializing at most
+    max_rows + 1 rows instead of OOM-ing on the full relation.  Below the
+    cap the limit is a no-op and every row is returned (order is
+    irrelevant — callers build per-query top-k, never order-sensitive
+    state).  Mirror of _threshold_join_broadcast's guard (knn.py:399).
+    """
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{caller}: query side exceeds max_query_rows={max_rows}; "
+            "the query relation is broadcast to every task and must stay "
+            "small — pre-aggregate, batch the queries, or use a "
+            "distributed similarity join (knn.threshold_join "
+            "strategy='blocked') instead"
+        )
+    return rows

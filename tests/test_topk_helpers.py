@@ -43,3 +43,60 @@ def test_no_window_exec_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan and "Window" not in plan
     assert "TakeOrdered" in plan
+
+
+def _toy_ann_frames(spark, n_queries):
+    qs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(n_queries)],
+        "query_id long, query_vec array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5), 0.5, 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    return qs, corpus
+
+
+def test_query_collect_guard_raises_over_cap(spark):
+    """VERDICT r5 #3: every query-side collect in the ANN ladder must
+    raise a clear ValueError over max_query_rows instead of OOM-ing."""
+    import numpy as np
+    import pytest
+
+    from crawling_vectordb_llm_spark.operators import ivf, knn, pq
+
+    qs, corpus = _toy_ann_frames(spark, 6)
+    cents = np.eye(3, dtype=np.float64)[:2]
+    books = np.tile(np.eye(3, dtype=np.float64)[None, :2, :1], (3, 1, 1))
+    codes = corpus.selectExpr("vec_id", "array(0, 0, 0) as codes")
+    with pytest.raises(ValueError, match="knn_join_numpy.*max_query_rows"):
+        knn.knn_join_numpy(qs, corpus, k=2, corpus_id="vec_id", max_query_rows=5)
+    with pytest.raises(ValueError, match="knn_quantized_rerank.*max_query_rows"):
+        knn.knn_quantized_rerank(
+            qs, corpus, k=2, corpus_id="vec_id", max_query_rows=5
+        )
+    with pytest.raises(ValueError, match="ivf_search.*max_query_rows"):
+        ivf.ivf_search(
+            qs, corpus.selectExpr("*", "0 as centroid_id"),
+            cents, k=2, n_probe=1, max_query_rows=5,
+        )
+    with pytest.raises(ValueError, match="pq_adc_shortlist.*max_query_rows"):
+        pq.pq_adc_shortlist(qs, codes, books, shortlist=4, max_query_rows=5)
+    with pytest.raises(ValueError, match="ivfpq_topk.*max_query_rows"):
+        pq.ivfpq_topk(qs, corpus, k=2, max_query_rows=5)
+
+
+def test_query_collect_guard_noop_below_cap(spark):
+    """Below the cap the guard must not change behavior: same result as
+    an uncapped run."""
+    from crawling_vectordb_llm_spark.operators import knn
+
+    qs, corpus = _toy_ann_frames(spark, 4)
+    capped = knn.knn_join_numpy(
+        qs, corpus, k=3, corpus_id="vec_id", max_query_rows=4
+    )
+    wide = knn.knn_join_numpy(
+        qs, corpus, k=3, corpus_id="vec_id", max_query_rows=1_000_000
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(capped.collect(), key=key) == sorted(wide.collect(), key=key)
