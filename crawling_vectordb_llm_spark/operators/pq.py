@@ -390,8 +390,11 @@ def pq_knn_rerank(
     # in vector_suite.q_pq_knn_rerank).
     if shortlist is None:
         if n_codes >= 64:
-            n = corpus.count()
-            shortlist = max(4 * k, 256, -(-15 * n // 100))
+            from crawling_vectordb_llm_spark.operators.topk import (
+                adaptive_shortlist,
+            )
+
+            shortlist = adaptive_shortlist(corpus.count(), floor=256, k=k)
         else:
             shortlist = max(128, 4 * k)
     books = pq_train(corpus, m_subvectors, n_codes, corpus_vec, seed=seed)

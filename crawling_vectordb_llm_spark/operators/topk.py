@@ -97,3 +97,50 @@ def collect_query_rows(
             "strategy='blocked') instead"
         )
     return rows
+
+
+def adaptive_shortlist(
+    n_corpus: int,
+    floor: int = 256,
+    k: int | None = None,
+    frac_num: int = 15,
+    frac_den: int = 100,
+) -> int:
+    """THE scale-aware ANN shortlist rule (VERDICT r5 #8: previously
+    inlined per query family; one helper so the next ANN op can't
+    reintroduce a fixed constant):
+
+        shortlist = max(floor, 4k if k, ceil(frac_num/frac_den * n))
+
+    Exact integer ceil (``-(-num*n // den)``) — no float fraction, so the
+    result is bit-stable across platforms (0.15 * 20000 in binary float
+    is 3000.0000000000005; ceil of that would be 3001 on some paths).
+
+    Why a fraction with a floor — measured-margin table, all on the
+    fresh-entropy ISOTROPIC hash-embedding fixtures (no cluster
+    structure: the provable worst case for every coarse stage; clustered
+    corpora sit far higher, SCALE.md):
+
+    stage 1 family        worst true-top-k stage-1 rank   default floor
+    --------------------  ------------------------------  -------------
+    PQ ADC, 64 codes      ~7.5% of n at n=2000; heavy      256 (2.4x the
+                          small-n variance (21.6% of 500   worst small-n
+                          on one fixture draw)             rank)
+    Hamming sign-bits     144/500 sf0.01, 640/2000 sf0.1,  1024 (covers
+                          1270/20000 fresh sf1 (contrast   every measured
+                          improves with n: 6.4% at 20k)    fixture)
+    IVF-PQ residual ADC,  recall 0.27 with fixed 256 at    256 (small-n
+    16 codes, 12/16 cells n=20k -> 0.76 at 0.15n (candi-   only; fraction
+                          date band tracks n)              governs at sf1)
+
+    frac_num/frac_den = 15/100 is ~2x the worst measured large-n
+    fraction for every family above.  The fraction is scale-free on
+    isotropic geometry, so the margin holds at every sf; the floor only
+    governs small corpora where a handful of outlier collisions
+    dominates.  Callers using coarser codebooks (<64 PQ codes) must
+    re-margin themselves — see pq.pq_knn_rerank's auto-mode history.
+    """
+    sl = max(floor, -(-frac_num * n_corpus // frac_den))
+    if k is not None:
+        sl = max(sl, 4 * k)
+    return sl

@@ -1009,10 +1009,13 @@ def q_hamming_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2.4x the sf1-fresh worst) governs at scale.  Economics unchanged:
     stage 1 scans 16 B/vector vs 256, stage 2 reranks shortlist only."""
     from crawling_vectordb_llm_spark.operators.knn import knn_rerank_shortlist
-    from crawling_vectordb_llm_spark.operators.topk import grouped_topk
+    from crawling_vectordb_llm_spark.operators.topk import (
+        adaptive_shortlist,
+        grouped_topk,
+    )
 
     emb = _emb(spark, sf_dir)
-    shortlist = max(1024, -(-15 * emb.count() // 100))
+    shortlist = adaptive_shortlist(emb.count(), floor=1024)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1213,9 +1216,11 @@ def q_ann_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawling_vectordb_llm_spark.operators.pq import ivfpq_topk
 
     emb = _emb(spark, sf_dir)
+    from crawling_vectordb_llm_spark.operators.topk import adaptive_shortlist
+
     ann = ivfpq_topk(
         _gate_queries(emb), emb, k=10, n_centroids=16, n_probe=12,
-        shortlist=max(256, -(-15 * emb.count() // 100)),
+        shortlist=adaptive_shortlist(emb.count(), floor=256),
     )
     return _recall_gate(ann, _exact_top10(emb), n_queries=10, k=10, threshold=0.65)
 
