@@ -165,20 +165,33 @@ def main() -> None:
         streaming = f"skipped: {e}"
 
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-                "n": n_runs,
-                "ingest_rows_per_s": round(n_docs / ingest_s, 1),
-                "streaming": streaming,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "n": n_runs,
+        "ingest_rows_per_s": round(n_docs / ingest_s, 1),
+        "streaming": streaming,
+    }
+    print(json.dumps(payload))
+    # the driver keeps only the last 2000 chars of stdout, which truncates
+    # the metric/value header and the first timings of BENCH_r{N}.json
+    # (VERDICT r5 #2) — also write the COMPLETE artifact next to the repo's
+    # checked-in SELFCHECK artifacts.  Round number from env if the driver
+    # exports one, else unnumbered.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "")
+    suffix = f"_r{int(rnd):02d}" if rnd.isdigit() else ""
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL{suffix}.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout must not sink the bench
 
 
 if __name__ == "__main__":

@@ -160,13 +160,20 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), sig.alias("signature"))
 
 
-def _pairs_from_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
+def _pairs_from_banded(
+    banded: DataFrame, max_bucket: int, distinct: bool = True
+) -> DataFrame:
     """(id, band, band_hash) rows → distinct candidate pairs.  Buckets
     larger than `max_bucket` (degenerate near-identical floods) are
     dropped to bound the within-bucket pair blowup; a production run
     logs them.  In-bucket pair generation is array exprs (no self-join):
     for sorted members [m0..mk], pairs = {(mi, mj) : i < j} — ONE shuffle
-    (the groupBy) instead of groupBy + join + join."""
+    (the groupBy) instead of groupBy + join + join.
+
+    distinct=False skips the cross-band dedup shuffle and returns up to
+    one copy of a pair PER SHARED BAND (<= bands copies) — for callers
+    that dedup downstream anyway (the incremental stream dedups its
+    flood-cap-bounded collect on the driver)."""
     members = (
         banded.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("__id")).alias("ms"))
@@ -181,11 +188,10 @@ def _pairs_from_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
             ),
         )
     )
-    return (
-        members.select(F.explode(pair_structs).alias("p"))
-        .select("p.a_id", "p.b_id")
-        .distinct()
+    out = members.select(F.explode(pair_structs).alias("p")).select(
+        "p.a_id", "p.b_id"
     )
+    return out.distinct() if distinct else out
 
 
 def banded_rows(

@@ -121,3 +121,95 @@ def test_index_rows_compose(spark):
         full.exceptAll(union).count() == 0
         and union.exceptAll(full).count() == 0
     )
+
+
+def test_fast_signer_parity_fixture_and_unicode(spark):
+    """portable_banded_rows_fast (numpy) must be BIT-IDENTICAL to the
+    expression plan on real fixture text and on adversarial strings
+    (empty-token runs, unicode codepoints incl. non-BMP, combining
+    marks, too-short docs) — it is the stream's signer (VERDICT r6 #1)."""
+    from crawling_vectordb_llm_spark.operators.incremental_dedup import (
+        portable_banded_rows_fast,
+    )
+
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    adv = spark.createDataFrame(
+        [
+            (0, "a  b c d"),
+            (1, "  x y z  "),
+            (2, "héllo wörld tëst ünïcode"),
+            (3, "😀 emoji 😀 test here"),
+            (4, "one two"),
+            (5, ""),
+            (6, None),
+            (7, " " * 10),
+            (8, "ab " * 50),
+            (9, "é́ combining zalgo t̵e̶x t ok"),
+        ],
+        "doc_id long, text string",
+    )
+    for df in (docs, adv):
+        a = (
+            portable_banded_rows(df)
+            .toPandas()
+            .sort_values(["__id", "band"])
+            .reset_index(drop=True)
+        )
+        b = (
+            portable_banded_rows_fast(df)
+            .toPandas()
+            .sort_values(["__id", "band"])
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+
+def test_round6_half_up_matches_spark_round(spark):
+    """_round6_half_up must match Spark's round(double, 6) (BigDecimal
+    HALF_UP over the shortest decimal repr) on a dense sweep of the
+    small-integer ratios Jaccard actually produces, plus half-way
+    decimals where Python's banker's rounding would diverge."""
+    from crawling_vectordb_llm_spark.streaming.incremental_dedup_stream import (
+        _round6_half_up,
+    )
+
+    vals = [i / j for j in range(1, 40) for i in range(j + 1)]
+    vals += [0.0000005, 0.0000015, 0.1234565, 0.9999995, 1.0, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r[0] for r in df.select(F.round("v", 6)).collect()]
+    want = [_round6_half_up(v) for v in vals]
+    assert got == want
+
+
+def test_stream_process_batch_matches_snapshot_ladder(spark, tmp_path):
+    """End-to-end: feeding the fixture in 3 batches through
+    process_batch (driver-verify path) must produce, per batch, exactly
+    the snapshot ladder's new-involving verified pairs — values
+    included (jaccard compared exactly)."""
+    from crawling_vectordb_llm_spark.streaming.incremental_dedup_stream import (
+        process_batch,
+    )
+
+    docs = (
+        read_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 300)
+    )
+    store = str(tmp_path / "store")
+    cuts = [(0, 100), (100, 200), (200, 300)]
+    for i, (lo, hi) in enumerate(cuts):
+        batch = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        process_batch(batch, i, store, tau=0.2)
+        snap = incremental_near_dup_portable(
+            docs.where(F.col("doc_id") < hi),
+            F.col("doc_id") >= lo,
+            tau=0.2,
+        )
+        got = {
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in spark.read.parquet(f"{store}/pairs/batch={i}").collect()
+        }
+        want = {
+            (r["a_id"], r["b_id"], r["jaccard"]) for r in snap.collect()
+        }
+        assert got == want, f"batch {i}: {got ^ want}"
