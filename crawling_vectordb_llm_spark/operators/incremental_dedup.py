@@ -223,7 +223,12 @@ def _portable_band_rows_pdf(
         perm_coeffs,
     )
 
-    doc_ids, doc_sh_counts, shingle_strs = [], [], []
+    # ---- per-TOKEN rolling hashes, then COMPOSE shingle hashes ----
+    # H over concatenation composes: H(x||y) = (H(x)·B^len(y) + H(y))
+    # mod P, so the 3-token shingle hash is five modular folds over
+    # per-token (hash, B^len) pairs — no shingle STRINGS are ever built
+    # (the r6.0 join loop was ~60% of the signer's profile).
+    doc_ids, doc_sh_counts, tok_lists = [], [], []
     for d, t in zip(ids, texts):
         toks = (t or "").split(" ")
         m = len(toks) - shingle_n + 1
@@ -231,20 +236,50 @@ def _portable_band_rows_pdf(
             continue
         doc_ids.append(d)
         doc_sh_counts.append(m)
-        for i in range(m):
-            shingle_strs.append(" ".join(toks[i : i + shingle_n]))
+        tok_lists.append(toks)
     if not doc_ids:
         z = np.array([], dtype=np.int64)
         return z, z.astype(np.int32), z
-    lens = np.array([len(s) for s in shingle_strs], dtype=np.int64)
+    flat_toks = [tok for toks in tok_lists for tok in toks]
+    tok_counts = np.array([len(toks) for toks in tok_lists], dtype=np.int64)
+    # hash UNIQUE tokens only (pd.factorize is a C hash table): natural
+    # text repeats tokens ~50-100x, so the char-rolling loop below runs
+    # over the vocabulary, not the token stream — measured 1.9s -> 0.4s
+    # per 17k docs with identical output (th/tpw depend only on the
+    # token STRING, so gathering through the codes is exact)
+    import pandas as pd
+
+    codes, uniques = pd.factorize(np.asarray(flat_toks, dtype=object))
+    uniq_toks = uniques.tolist()
+    lens = np.array([len(s) for s in uniq_toks], dtype=np.int64)
     cps = np.frombuffer(
-        "".join(shingle_strs).encode("utf-32-le"), dtype="<u4"
+        "".join(uniq_toks).encode("utf-32-le"), dtype="<u4"
     ).astype(np.int64)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    acc = np.zeros(len(lens), dtype=np.int64)
-    for i in range(int(lens.max())):
+    uth = np.zeros(len(lens), dtype=np.int64)  # per-unique-token hash
+    maxlen = int(lens.max()) if len(lens) else 0
+    for i in range(maxlen):
         sel = lens > i
-        acc[sel] = (acc[sel] * _CHAR_B + cps[starts[sel] + i]) % P
+        uth[sel] = (uth[sel] * _CHAR_B + cps[starts[sel] + i]) % P
+    # B^len(token) mod P via precomputed powers
+    pw_table = np.empty(maxlen + 1, dtype=np.int64)
+    pw_table[0] = 1
+    for i in range(1, maxlen + 1):
+        pw_table[i] = (pw_table[i - 1] * _CHAR_B) % P
+    th = uth[codes]
+    tpw = pw_table[lens][codes]
+    # shingle hash: fold tokens k..k+n-1 with single-space separators
+    # (codepoint 32, pw = B) — bit-identical to char-rolling the joined
+    # string because the rolling hash is associative over concatenation
+    tok_starts = np.concatenate(([0], np.cumsum(tok_counts)[:-1]))
+    sh_idx0 = np.concatenate(
+        [ts + np.arange(m) for ts, m in zip(tok_starts, doc_sh_counts)]
+    ).astype(np.int64)
+    acc = th[sh_idx0]
+    for j in range(1, shingle_n):
+        idx = sh_idx0 + j
+        acc = (acc * _CHAR_B + 32) % P           # append " "
+        acc = (acc * tpw[idx] + th[idx]) % P     # append token j
     doc_starts = np.concatenate(
         ([0], np.cumsum(doc_sh_counts)[:-1])
     ).astype(np.int64)

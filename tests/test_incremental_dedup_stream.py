@@ -93,3 +93,33 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
         )
     )
     assert after == before
+
+
+def test_driver_and_distributed_modes_agree(spark, tmp_path):
+    """The adaptive execution modes (driver numpy probe vs distributed
+    mapInPandas probe vs the flood-overflow recompute) must emit
+    byte-identical pairs for the same batch sequence."""
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    batches = [
+        docs.where(F.col("doc_id") % 3 == k).localCheckpoint()
+        for k in range(3)
+    ]
+
+    def run(store, **kw):
+        for bid, b in enumerate(batches):
+            process_batch(b, bid, store, tau=0.2, **kw)
+        return _pairs(
+            spark.read.option(
+                "basePath", os.path.join(store, "pairs")
+            ).parquet(os.path.join(store, "pairs"))
+        )
+
+    got_driver = run(str(tmp_path / "drv"))  # default bounds -> driver
+    got_dist = run(str(tmp_path / "dst"), max_driver_batch_rows=0)
+    # tiny index-bytes bound: batch 0 stays driver, later batches go
+    # distributed — exercises the mixed-store read paths
+    got_mixed = run(str(tmp_path / "mix"), max_driver_index_bytes=1)
+    # pair-count cap of 0 forces the overflow recompute in driver mode
+    got_ovf = run(str(tmp_path / "ovf"), max_collect_pairs=0)
+    assert got_driver == got_dist == got_mixed == got_ovf
+    assert got_driver  # fixture must actually contain dups
