@@ -48,6 +48,7 @@ from tools.sf1 import (  # noqa: E402
 
 SMALL = os.environ.get("SPARK_GRAFT_SF01F_DIR", "/tmp/sf0.1_fresh")
 BIG = os.environ.get("SPARK_GRAFT_SF1F_DIR", "/tmp/sf1_fresh")
+SF3 = os.environ.get("SPARK_GRAFT_SF3F_DIR", "/tmp/sf3_fresh")
 
 # relational facts keep the replication recipe — their slopes are not
 # distorted by content duplication (joins/aggs don't pair rows by text)
@@ -60,7 +61,7 @@ REL_FACTS = {
 DOC_ROWS, EMB_ROWS = 5_000, 2_000  # driver sf0.1 row counts (1x)
 
 
-def build() -> None:
+def build(targets: tuple[tuple[str, int], ...] = ((SMALL, 1), (BIG, 10))) -> None:
     from crawling_vectordb_llm_spark.session import get_spark
     from crawling_vectordb_llm_spark.sources.synthetic_documents import (
         fresh_documents,
@@ -68,13 +69,13 @@ def build() -> None:
     )
 
     spark = get_spark("sf1_fresh_build")
-    for dest, mult in ((SMALL, 1), (BIG, 10)):
+    for dest, mult in targets:
         os.makedirs(dest, exist_ok=True)
         for name, id_cols in REL_FACTS.items():
             if mult == 1:
                 shutil.copyfile(f"{SRC}/{name}.parquet", f"{dest}/{name}.parquet")
             else:
-                out = replicate_fact(spark, SRC, name, id_cols, COPIES)
+                out = replicate_fact(spark, SRC, name, id_cols, mult)
                 write_single_parquet(out, dest, name)
             n = spark.read.parquet(f"{dest}/{name}.parquet").count()
             print(f"{dest}: {name} {n} rows")
@@ -132,12 +133,101 @@ def bench() -> None:
     print(f"\nflagged (> 12x): {artifact['flagged']}")
 
 
+def bench3() -> None:
+    """Three-point scaling curve (VERDICT r6 #4): bench at fresh sf0.1 /
+    sf1 / sf3 (data multiples x = 1, 10, 30) and fit, per query,
+
+      t(x) = c + m*x   (least squares over the 3 points)
+
+    separating fixed overhead (c: JVM/plan/scheduling cost that a 2-point
+    ratio can't distinguish from growth) from the data-proportional term
+    (m).  The flag metric is the MARGINAL exponent over the two larger
+    scales, e = ln(t30/t10)/ln 3 — overhead is amortized there, so
+    e >~ 1.2 means genuinely superlinear shuffle/pair growth while a big
+    sf0.1->sf1 ratio with e ~ 1 is just fixed overhead at the tiny scale.
+    Writes BENCH_SF1_r06.json."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import math
+
+    runs = {}
+    for label, d in (("sf0.1_fresh", SMALL), ("sf1_fresh", BIG),
+                     ("sf3_fresh", SF3)):
+        runs[label] = run_bench(d)
+        print(f"{label} total {runs[label]['value']}s")
+    xs = [1.0, 10.0, 30.0]
+    fits, ratios = {}, {}
+    for q in runs["sf3_fresh"]["queries"]:
+        ts = [runs[lbl]["queries"][q] for lbl in
+              ("sf0.1_fresh", "sf1_fresh", "sf3_fresh")]
+        n = len(xs)
+        mx, mt = sum(xs) / n, sum(ts) / n
+        sxx = sum((x - mx) ** 2 for x in xs)
+        sxt = sum((x - mx) * (t - mt) for x, t in zip(xs, ts))
+        m = sxt / sxx
+        c = mt - m * mx
+        sse = sum((t - (c + m * x)) ** 2 for x, t in zip(xs, ts))
+        sst = sum((t - mt) ** 2 for t in ts) or 1e-12
+        e_marginal = math.log(max(ts[2], 1e-9) / max(ts[1], 1e-9)) / math.log(3)
+        fits[q] = {
+            "t_x1": ts[0], "t_x10": ts[1], "t_x30": ts[2],
+            "fit_overhead_s": round(c, 3),
+            "fit_s_per_x": round(m, 4),
+            "fit_r2": round(1 - sse / sst, 4),
+            "marginal_exponent_sf1_to_sf3": round(e_marginal, 3),
+        }
+        ratios[q] = round(ts[1] / max(ts[0], 1e-9), 2)
+    superlinear = sorted(
+        [q for q, f in fits.items()
+         if f["marginal_exponent_sf1_to_sf3"] > 1.2],
+        key=lambda q: -fits[q]["marginal_exponent_sf1_to_sf3"],
+    )
+    artifact = {
+        "fixture": "fresh-entropy (unique seeded content, ~7% doc / ~5% "
+        "vector controlled dup rate; sources/synthetic_documents.py); "
+        "three scales x=1,10,30 of driver sf0.1",
+        "sf0.1_fresh": runs["sf0.1_fresh"],
+        "sf1_fresh": runs["sf1_fresh"],
+        "sf3_fresh": runs["sf3_fresh"],
+        "ratio_sf1_over_sf0.1": ratios,
+        "slope_fit": fits,
+        "data_growth": {"sf1": 10, "sf3": 30},
+        "flag_rule": "marginal_exponent_sf1_to_sf3 > 1.2 (amortized "
+        "regime superlinearity); legacy 2-point ratio kept for "
+        "round-over-round continuity",
+        "flagged_superlinear": superlinear,
+        "flagged_ratio_gt_12": sorted(
+            [q for q, r in ratios.items() if r > 12.0],
+            key=lambda q: -ratios[q],
+        ),
+    }
+    path = os.path.join(repo, "BENCH_SF1_r06.json")
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"\nwrote {path}")
+    print("\n| query | x1 s | x10 s | x30 s | overhead s | s/x | e(10->30) |")
+    print("|---|---|---|---|---|---|---|")
+    for q, fv in sorted(
+        fits.items(),
+        key=lambda kv: -kv[1]["marginal_exponent_sf1_to_sf3"],
+    ):
+        print(
+            f"| {q} | {fv['t_x1']} | {fv['t_x10']} | {fv['t_x30']} | "
+            f"{fv['fit_overhead_s']} | {fv['fit_s_per_x']} | "
+            f"{fv['marginal_exponent_sf1_to_sf3']} |"
+        )
+    print(f"\nflagged superlinear (e > 1.2): {superlinear}")
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "build"
     if cmd == "build":
         build()
+    elif cmd == "build3":
+        build(targets=((SF3, 30),))
     elif cmd == "bench":
         bench()
+    elif cmd == "bench3":
+        bench3()
     elif cmd == "selfcheck":
         os.execv(
             sys.executable,
