@@ -104,7 +104,16 @@ def kmeans_centroids(
     collects the sample, then vectorized Lloyd's iterations run on the
     driver (milliseconds for 200k x 64 float64; no per-iteration Spark job
     overhead).  Returns the L2-normalized centroid matrix, deterministic
-    for a fixed seed."""
+    for a fixed seed.
+
+    The EFFECTIVE sample is additionally capped at max(10k, 256·k)
+    points (FAISS's 39-256 points-per-centroid training rule), so the
+    trainer's collect + Lloyd cost is CORPUS-SIZE-INDEPENDENT above the
+    cap — the round-6 three-point bench showed the 200k-or-corpus
+    sample made every kmeans-built query's train term grow linearly
+    with n for zero recall benefit (r6 slope fits; recall gates
+    re-verified at all scales after the cap)."""
+    sample_limit = min(sample_limit, max(10_000, 256 * n_centroids))
     rows = bounded_random_sample(corpus, [vec_col], sample_limit, seed)
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     rng = np.random.default_rng(seed)

@@ -71,7 +71,11 @@ def pq_train(
     from crawling_vectordb_llm_spark.operators.ivf import bounded_random_sample
 
     # seeded random sample, not .limit() — same recall-bias fix as the
-    # IVF trainer (ADVICE r1)
+    # IVF trainer (ADVICE r1).  Effective cap max(20k, 1024·n_codes):
+    # 16-256 codes per subquantizer need a few thousand training points
+    # (FAISS practice); above the cap the trainer cost would grow with
+    # the corpus for zero codebook benefit (r6 slope fits).
+    sample_limit = min(sample_limit, max(20_000, 1_024 * n_codes))
     rows = bounded_random_sample(corpus, [vec_col], sample_limit, seed)
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     dim = x.shape[1]
@@ -249,7 +253,11 @@ def ivfpq_topk(
     # --- train PQ on residuals (seeded random driver sample) ---
     from crawling_vectordb_llm_spark.operators.ivf import bounded_random_sample
 
-    rows = bounded_random_sample(assigned, [corpus_vec, "centroid_id"], 200_000, seed)
+    # residual-codebook sample under the same FAISS-rule cap as pq_train
+    rows = bounded_random_sample(
+        assigned, [corpus_vec, "centroid_id"],
+        max(20_000, 1_024 * n_codes), seed,
+    )
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     cid = np.array([r[1] for r in rows], dtype=np.int64)
     resid = x - cents[cid]
