@@ -555,9 +555,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only here; tests/test_semdedup.py pins planted-duplicate recall,
     lowest-id-wins election, determinism, and sub-cell safety."""
     from crawling_vectordb_llm_spark.operators.semdedup import semantic_dedup
+    from crawling_vectordb_llm_spark.operators.topk import (
+        adaptive_cluster_count,
+    )
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    return semantic_dedup(emb, tau=0.4, n_clusters=8, seed=42)
+    return semantic_dedup(
+        emb, tau=0.4, n_clusters=adaptive_cluster_count(emb.count()),
+        seed=42,
+    )
 
 
 @query(
@@ -622,11 +628,15 @@ def q_semantic_dedup_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
     wherever the operator does."""
     from crawling_vectordb_llm_spark.functions import vector as V
     from crawling_vectordb_llm_spark.operators.semdedup import semantic_dedup
+    from crawling_vectordb_llm_spark.operators.topk import (
+        adaptive_cluster_count,
+    )
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     tau = 0.4
     verdicts = semantic_dedup(
-        emb, tau=tau, n_clusters=8, seed=42, include_cell=True
+        emb, tau=tau, n_clusters=adaptive_cluster_count(emb.count()),
+        seed=42, include_cell=True,
     )
     with_vec = verdicts.join(emb.select("vec_id", "embedding"), "vec_id")
     kept = with_vec.where(F.col("keep")).select(

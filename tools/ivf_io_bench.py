@@ -95,27 +95,36 @@ def scan_stats_since(app_id: str, min_sql_id: int) -> tuple[int, float]:
     on the local filesystem (Hadoop FS statistics quirk); the SQL
     plan-graph metrics 'number of files read' / 'size of files read'
     are authoritative — they are exactly the post-partition-pruning
-    scan set."""
+    scan set.  The UI store updates asynchronously after the job
+    returns, so poll until the metrics appear (the r6 run caught a
+    '0 files read' race)."""
     import requests
 
-    files, size = 0, 0.0
-    for q in requests.get(_sql_url(app_id), timeout=10).json():
-        if q["id"] < min_sql_id:
-            continue
-        for n in q.get("nodes", []):
-            if "Scan" not in n["nodeName"]:
+    for _ in range(10):
+        files, size = 0, 0.0
+        for q in requests.get(_sql_url(app_id), timeout=10).json():
+            if q["id"] < min_sql_id:
                 continue
-            for m in n.get("metrics", []):
-                if m["name"] == "number of files read":
-                    files += int(m["value"].replace(",", ""))
-                elif m["name"] == "size of files read":
-                    size += _parse_size(m["value"])
+            for n in q.get("nodes", []):
+                if "Scan" not in n["nodeName"]:
+                    continue
+                for m in n.get("metrics", []):
+                    if m["name"] == "number of files read":
+                        files += int(m["value"].replace(",", ""))
+                    elif m["name"] == "size of files read":
+                        size += _parse_size(m["value"])
+        if files:
+            return files, size
+        time.sleep(1)
     return files, size
 
 
-def median3(fn):
-    walls = sorted(timed(fn)[0] for _ in range(3))
-    return walls[1]
+def median3(fn, reps: int = 5):
+    """median of `reps` (5 default — sub-2s walls on this box carry
+    ±1s scheduler noise; a 3-rep median flipped ratios between r6
+    runs)."""
+    walls = sorted(timed(fn)[0] for _ in range(reps))
+    return walls[len(walls) // 2]
 
 
 def evict_page_cache(*dirs: str) -> float:
@@ -141,14 +150,14 @@ def evict_page_cache(*dirs: str) -> float:
     return total / 2**20
 
 
-def median3_cold(fn, *evict_dirs: str):
-    """median-of-3 where every rep pays cold file I/O (cache evicted
-    immediately before each run; eviction time NOT counted)."""
+def median3_cold(fn, *evict_dirs: str, reps: int = 5):
+    """median of `reps` where every rep pays cold file I/O (cache
+    evicted immediately before each run; eviction time NOT counted)."""
     walls = []
-    for _ in range(3):
+    for _ in range(reps):
         evict_page_cache(*evict_dirs)
         walls.append(timed(fn)[0])
-    return sorted(walls)[1]
+    return sorted(walls)[len(walls) // 2]
 
 
 def timed(fn):
