@@ -30,6 +30,7 @@ HEADLINE = [
     "knn_topk",
     "knn_topk_sql",
     "similarity_threshold_join",
+    "similarity_topk_join",
     "embedding_near_dup",
     "minhash_lsh_near_dup",
     "dedup_exact",

@@ -385,11 +385,60 @@ def ivf_pruned_threshold_join(
     from crawling_vectordb_llm_spark.operators.knn import _chunked_tau_gemm
 
     spark = corpus.sparkSession
-    n = corpus.count()
-    if n == 0:
+    prep = _ivf_pruned_replicated(
+        corpus, tau, id_col, vec_col, n_cells, seed, max_cell_rows,
+        centroids, stats_out,
+    )
+    if prep is None:
         return spark.createDataFrame(
             [], f"a_id long, b_id long, {score_col} double"
         )
+    replicated, diag_pks, id_t = prep
+    bc_diag = spark.sparkContext.broadcast(diag_pks)
+
+    def _gemm_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        diagonal = int(key[0]) in bc_diag.value
+        a = pdf[pdf["__role"] == "a"]
+        b = a if diagonal else pdf[pdf["__role"] == "b"]
+        out = _chunked_tau_gemm(
+            a["__id"].to_numpy(),
+            np.array(list(a["__v"]), dtype=np.float64),
+            b["__id"].to_numpy(),
+            np.array(list(b["__v"]), dtype=np.float64),
+            tau,
+            gemm_chunk_rows,
+            triangular=diagonal,
+            orient=True,
+        )
+        return pd.DataFrame({"a_id": out[0], "b_id": out[1], score_col: out[2]})
+
+    return replicated.groupBy("__pk").applyInPandas(
+        _gemm_pair, schema=f"a_id {id_t}, b_id {id_t}, {score_col} double"
+    )
+
+
+def _ivf_pruned_replicated(
+    corpus: DataFrame,
+    tau: float,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    max_cell_rows: int,
+    centroids: "np.ndarray | None",
+    stats_out: dict | None = None,
+) -> "tuple[DataFrame, set, str] | None":
+    """Shared stage-1 machinery for the IVF-pruned self-joins: k-means
+    cells, per-vector angle to centroid, triangle-inequality cell-pair
+    admission, skew sub-splitting, and replication of every row to its
+    admitted block-pair tasks.  Returns (replicated rows with
+    __id/__v/__pk/__role, diagonal pk set, id type) — None for an empty
+    corpus.  The caller supplies the per-block-pair kernel (threshold
+    emission or bounded top-k emission)."""
+    spark = corpus.sparkSession
+    n = corpus.count()
+    if n == 0:
+        return None
     k = max(1, min(n_cells, n))
     if centroids is None:
         centroids = kmeans_centroids(corpus, k, vec_col, seed=seed)
@@ -514,24 +563,81 @@ def ivf_pruned_threshold_join(
             admit_rate=cand / max(total_pairs, 1),
         )
 
+    return replicated, diag_pks, id_t
+
+
+def ivf_pruned_topk_join(
+    corpus: DataFrame,
+    tau: float,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_cell_rows: int = 65_536,
+    gemm_chunk_rows: int = 2_048,
+    score_col: str = "score",
+    item_col: str = "item_id",
+    neighbor_col: str = "neighbor_id",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """BOUNDED-OUTPUT composition of the IVF-cell prune and the per-item
+    top-k emission (VERDICT r6 #1): every item's top-k cosine neighbors
+    with score >= tau, computed only over the cell pairs the angular
+    triangle inequality admits.
+
+    Exactness survives the composition: the prune only removes pairs
+    PROVABLY below tau, and the bounded join ranks among pairs >= tau, so
+    the pruned candidate set contains every item's true top-k — recall
+    1.0 by construction, same as ivf_pruned_threshold_join.  Each
+    candidate pair lives in exactly one admitted block task; the task
+    emits each participating item's local top-k (both directions) and a
+    global grouped_topk merges, the same superset argument as
+    knn.topk_similarity_self_join.
+
+    Scale: candidate GENERATION is cell-pruned (clustered corpora skip
+    most of the grid), and EMISSION is capped at n·k — the full
+    candidates → verify → bounded-output pipeline that survives 100 TB
+    where a loose-tau all-pairs join cannot (measured pair-volume
+    exponent 2.0, BENCH_SF1_r06 slope fits)."""
+    from crawling_vectordb_llm_spark.operators.knn import _topk_tau_gemm
+
+    spark = corpus.sparkSession
+    prep = _ivf_pruned_replicated(
+        corpus, tau, id_col, vec_col, n_cells, seed, max_cell_rows, centroids
+    )
+    if prep is None:
+        return spark.createDataFrame(
+            [],
+            f"{item_col} long, {neighbor_col} long, rank int, {score_col} double",
+        )
+    replicated, diag_pks, id_t = prep
     bc_diag = spark.sparkContext.broadcast(diag_pks)
 
-    def _gemm_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _topk_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         diagonal = int(key[0]) in bc_diag.value
         a = pdf[pdf["__role"] == "a"]
         b = a if diagonal else pdf[pdf["__role"] == "b"]
-        out = _chunked_tau_gemm(
+        out = _topk_tau_gemm(
             a["__id"].to_numpy(),
             np.array(list(a["__v"]), dtype=np.float64),
             b["__id"].to_numpy(),
             np.array(list(b["__v"]), dtype=np.float64),
             tau,
+            k,
             gemm_chunk_rows,
-            triangular=diagonal,
-            orient=True,
+            diagonal=diagonal,
         )
-        return pd.DataFrame({"a_id": out[0], "b_id": out[1], score_col: out[2]})
+        return pd.DataFrame(
+            {item_col: out[0], neighbor_col: out[1], score_col: out[2]}
+        )
 
-    return replicated.groupBy("__pk").applyInPandas(
-        _gemm_pair, schema=f"a_id {id_t}, b_id {id_t}, {score_col} double"
+    directed = replicated.groupBy("__pk").applyInPandas(
+        _topk_pair,
+        schema=f"{item_col} {id_t}, {neighbor_col} {id_t}, {score_col} double",
+    )
+    return grouped_topk(
+        directed, [item_col], [F.desc(score_col), F.asc(neighbor_col)], k
+    ).select(
+        item_col, neighbor_col, F.col("rank").cast("int").alias("rank"), score_col
     )

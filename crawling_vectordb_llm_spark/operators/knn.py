@@ -313,6 +313,218 @@ def threshold_similarity_join(
     )
 
 
+def topk_similarity_self_join(
+    df: DataFrame,
+    k: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    block_target_rows: int = 65_536,
+    gemm_chunk_rows: int = 2_048,
+    score_col: str = "score",
+    item_col: str = "item_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """BOUNDED-OUTPUT similarity self-join (VERDICT r6 #1): for every item,
+    its top-k cosine neighbors with score >= tau — the scale-safe emission
+    mode for the loose-tau similarity consumers.
+
+    Why this exists: `threshold_similarity_join` is exact and linear per
+    OUTPUT row, but at a loose tau the output itself is quadratic in the
+    corpus (the r6 three-point bench measured edge growth at marginal
+    exponent 2.0 on isotropic geometry — 4,470 → 3.84M pairs for 30×
+    data).  At 100 TB a fixed tau buries the run in pair emission no
+    matter how good the plan is.  Capping emission at k per item bounds
+    the output at n·k rows — linear — while keeping every strong edge a
+    dedup/graph consumer actually uses (a near-duplicate's nearest
+    neighbors are exactly the edges that form its cluster).
+
+    Physical shape: the same triangular block grid as
+    threshold_similarity_join(strategy="blocked") — every id hashes into
+    one of P blocks, each row is shuffled to its P+1 block-pairs — but
+    each block-pair task emits only each participating item's LOCAL top-k
+    (both directions of the pair), so per-task output is (|A|+|B|)·k
+    instead of the full >=tau pair volume.  A global grouped_topk merges
+    the per-task lists: any globally top-k neighbor of an item has local
+    rank < k in the one task that scored that pair (every candidate ahead
+    of it locally is ahead globally too), so local truncation is a strict
+    superset of the answer — the same admission argument as
+    ivf_search's per-cell rank cap.  Shuffle volume is n·(P+1)·k score
+    triples; nothing is collected to the driver.
+
+    Determinism: local and global stages rank on the SAME total order —
+    6-dp-rounded score desc, neighbor id asc (ids pre-sorted + stable
+    argsort in the kernel) — so output is unique regardless of
+    partitioning, and a DuckDB row_number oracle over the exact pair list
+    reproduces it bit-for-bit.
+
+    Output: (item_id, neighbor_id, rank, score) — DIRECTED.  Graph/dedup
+    consumers symmetrize with `topk_edges` (union of directions, each
+    unordered pair once).
+    """
+    spark = df.sparkSession
+    if n_blocks is None:
+        n = df.count()
+        n_blocks = _pick_blocks(
+            n, block_target_rows, spark.sparkContext.defaultParallelism
+        )
+    P = n_blocks
+    id_t = df.schema[id_col].dataType.simpleString()
+    blocked = df.select(
+        F.col(id_col).alias("__id"),
+        V.as_double_array(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(P)).cast("int").alias("__b"),
+    )
+    a_side = blocked.select(
+        "__id", "__v", "__b",
+        F.explode(F.sequence(F.col("__b"), F.lit(P - 1))).alias("__j"),
+    ).select(
+        "__id", "__v",
+        (F.col("__b") * P + F.col("__j")).alias("__pk"),
+        F.lit("a").alias("__role"),
+    )
+    b_side = blocked.select(
+        "__id", "__v", "__b",
+        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("__i"),
+    ).select(
+        "__id", "__v",
+        (F.col("__i") * P + F.col("__b")).alias("__pk"),
+        F.lit("b").alias("__role"),
+    )
+    replicated = a_side.unionByName(b_side)
+
+    def _topk_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = divmod(int(key[0]), P)
+        a = pdf[pdf["__role"] == "a"]
+        b = a if i == j else pdf[pdf["__role"] == "b"]
+        out = _topk_tau_gemm(
+            a["__id"].to_numpy(), np.array(list(a["__v"]), dtype=np.float64),
+            b["__id"].to_numpy(), np.array(list(b["__v"]), dtype=np.float64),
+            tau, k, gemm_chunk_rows, diagonal=(i == j),
+        )
+        return pd.DataFrame(
+            {item_col: out[0], neighbor_col: out[1], score_col: out[2]}
+        )
+
+    candidates = replicated.groupBy("__pk").applyInPandas(
+        _topk_pair,
+        schema=f"{item_col} {id_t}, {neighbor_col} {id_t}, {score_col} double",
+    )
+    return grouped_topk(
+        candidates, [item_col], [F.desc(score_col), F.asc(neighbor_col)], k
+    ).select(
+        item_col, neighbor_col, F.col("rank").cast("int").alias("rank"), score_col
+    )
+
+
+def topk_edges(
+    directed: DataFrame,
+    item_col: str = "item_id",
+    neighbor_col: str = "neighbor_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Symmetrize a directed top-k neighbor list into the UNION k-NN graph:
+    each unordered pair once as (a_id < b_id) with its (symmetric, already
+    6-dp-rounded) score.  This is the bounded edge set the graph/cluster
+    consumers run on — at most n·k edges, linear in the corpus."""
+    return directed.select(
+        F.least(item_col, neighbor_col).alias("a_id"),
+        F.greatest(item_col, neighbor_col).alias("b_id"),
+        F.col(score_col).alias(score_col),
+    ).distinct()
+
+
+def _topk_tau_gemm(
+    a_ids: np.ndarray,
+    a_mat: np.ndarray,
+    b_ids: np.ndarray,
+    b_mat: np.ndarray,
+    tau: float,
+    k: int,
+    chunk_rows: int,
+    diagonal: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Directed per-item local top-k of cosine >= tau between two id sets.
+
+    Emits (item, neighbor, score6) for BOTH directions of the block pair:
+    A items ranked over B (complete per A-chunk — each A row sees every B
+    column), and, when the blocks differ, B items ranked over A (per-chunk
+    partial top-k merged by one vectorized rank pass at the end, the
+    ivf_search lexsort shape).  diagonal=True scores one set against
+    itself (symmetric matrix — the per-row direction alone covers every
+    item) with the self-pair masked out.
+
+    Ranking is on round(score, 6) desc, id asc — ids are pre-sorted and
+    the argsorts stable, so ties resolve identically to the global
+    grouped_topk stage and to a SQL row_number oracle."""
+    empty = (np.array([]), np.array([]), np.array([]))
+    if len(a_ids) == 0 or len(b_ids) == 0 or k <= 0:
+        return empty
+    a_ord = np.argsort(a_ids, kind="stable")
+    a_ids, a_mat = a_ids[a_ord], a_mat[a_ord]
+    b_ord = np.argsort(b_ids, kind="stable")
+    b_ids, b_mat = b_ids[b_ord], b_mat[b_ord]
+    a_mat = a_mat / np.maximum(np.linalg.norm(a_mat, axis=1, keepdims=True), 1e-30)
+    b_mat = b_mat / np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-30)
+
+    items, neighs, scs = [], [], []
+    b_items, b_neighs, b_scs = [], [], []
+    ka = min(k, len(b_ids))
+    kb = min(k, len(a_ids))
+    for start in range(0, a_mat.shape[0], chunk_rows):
+        am = a_mat[start : start + chunk_rows]
+        ai = a_ids[start : start + chunk_rows]
+        scores = am @ b_mat.T  # (chunk, |B|)
+        rs = np.where(scores >= tau, np.round(scores, 6), -np.inf)
+        if diagonal:
+            rs[ai[:, None] == b_ids[None, :]] = -np.inf
+        # A direction: per-row top-k (columns id-asc, stable → id tiebreak)
+        top = np.argsort(-rs, axis=1, kind="stable")[:, :ka]
+        rows = np.repeat(np.arange(rs.shape[0]), top.shape[1])
+        cols = top.ravel()
+        vals = rs[rows, cols]
+        keep = vals > -np.inf
+        items.append(ai[rows[keep]])
+        neighs.append(b_ids[cols[keep]])
+        scs.append(vals[keep])
+        if not diagonal:
+            # B direction: per-column top-k within this chunk (rows id-asc,
+            # stable → id tiebreak); partial lists merge after the loop
+            rst = rs.T  # (|B|, chunk)
+            kbc = min(kb, rst.shape[1])
+            topb = np.argsort(-rst, axis=1, kind="stable")[:, :kbc]
+            browz = np.repeat(np.arange(rst.shape[0]), topb.shape[1])
+            bcols = topb.ravel()
+            bvals = rst[browz, bcols]
+            bkeep = bvals > -np.inf
+            b_items.append(b_ids[browz[bkeep]])
+            b_neighs.append(ai[bcols[bkeep]])
+            b_scs.append(bvals[bkeep])
+    if b_items:
+        # cross-chunk merge for the B direction: rank (item, score desc,
+        # neighbor asc), keep rank < k — vectorized, no Python loop
+        bi = np.concatenate(b_items)
+        bn = np.concatenate(b_neighs)
+        bs = np.concatenate(b_scs)
+        if len(bi):
+            order = np.lexsort((bn, -bs, bi))
+            bi, bn, bs = bi[order], bn[order], bs[order]
+            starts = np.flatnonzero(np.r_[True, bi[1:] != bi[:-1]])
+            sizes = np.diff(np.append(starts, len(bi)))
+            ranks = np.arange(len(bi)) - np.repeat(starts, sizes)
+            keep = ranks < kb
+            items.append(bi[keep])
+            neighs.append(bn[keep])
+            scs.append(bs[keep])
+    items = [x for x in items if len(x)]
+    if not items:
+        return empty
+    neighs = [x for x in neighs if len(x)]
+    scs = [x for x in scs if len(x)]
+    return np.concatenate(items), np.concatenate(neighs), np.concatenate(scs)
+
+
 def _pick_blocks(
     n: int,
     block_target_rows: int,

@@ -20,6 +20,11 @@ from crawling_vectordb_llm_spark.operators.knn import (
     threshold_similarity_join,
 )
 from crawling_vectordb_llm_spark.plans.rag import search_pipeline
+from crawling_vectordb_llm_spark.suite.dedup_suite import (
+    BOUNDED_GRAPH_CTES,
+    TOPK_K,
+    TOPK_TAU,
+)
 from crawling_vectordb_llm_spark.suite.registry import query
 
 N_QUERIES = 5
@@ -84,6 +89,26 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 def q_similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-join flavor of J1 (SURVEY §2.5): all pairs cosine >= tau."""
     return threshold_similarity_join(_emb(spark, sf_dir), None, tau=0.4)
+
+
+@query(
+    "similarity_topk_join",
+    oracle="WITH " + BOUNDED_GRAPH_CTES + """
+SELECT item_id, neighbor_id, CAST(rnk AS INT) AS rank, score
+FROM ranked WHERE rnk <= {k}
+""".format(k=TOPK_K),
+)
+def q_similarity_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-output similarity self-join (VERDICT r6 #1 headline): every
+    vector's top-k cosine neighbors at >= tau via the blocked-GEMM grid
+    with per-task top-k emission — output <= n·k rows (linear) where the
+    all-pairs threshold join's output is quadratic at a loose tau
+    (measured marginal exponent 2.0, BENCH_SF1_r06)."""
+    from crawling_vectordb_llm_spark.operators.knn import (
+        topk_similarity_self_join,
+    )
+
+    return topk_similarity_self_join(_emb(spark, sf_dir), k=TOPK_K, tau=TOPK_TAU)
 
 
 @query(
@@ -716,17 +741,7 @@ def q_context_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "similarity_pagerank",
-    oracle="""
-WITH nodes AS (SELECT vec_id AS id FROM embeddings),
-n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
-pairs AS (
-  SELECT a.vec_id AS a, b.vec_id AS b
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                               CAST(b.embedding AS DOUBLE[])) >= 0.35
-),
+_PAGERANK_TAIL = """
 edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
 deg AS (SELECT a AS u, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY a),
 r0 AS (SELECT id, 1.0 / cnt AS r FROM nodes CROSS JOIN n),
@@ -747,27 +762,15 @@ SELECT nodes.id AS vec_id,
        CAST(floor((0.15 / cnt + 0.85 * (COALESCE(s3.s, 0) / 1e9)) * 1e6 + 0.5)
             AS BIGINT) AS pr_e6
 FROM nodes CROSS JOIN n LEFT JOIN s3 ON s3.id = nodes.id
-""",
-)
-def q_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextRank-style centrality over the similarity graph: 3 power
-    iterations of PageRank (damping 0.85) on the tau=0.35 cosine graph —
-    high-rank vectors sit in dense similarity neighborhoods, the
-    representativeness signal behind centrality-based canonical election.
+"""
 
-    Cross-engine exactness for an ITERATIVE float algorithm: per-edge
-    contributions are fixed-pointed to integer nano-units via
-    floor(x*1e9 + 0.5) (identical IEEE ops in both engines, unlike
-    ROUND(double)), summed as integers (order-free), and the final rank is
-    emitted in micro-units — the oracle unrolls the same 3 iterations as
-    CTEs and matches bit-for-bit.
-    Scale shape: each iteration is one edge-side join against the rank
-    table (broadcast — ranks are one row per node, dwarfed by edges) plus
-    one aggregation shuffle on the destination id."""
-    emb = _emb(spark, sf_dir)
+
+def _pagerank_query(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """3 power iterations of PageRank (damping 0.85) over an undirected
+    pair list, fixed-pointed to integer nano-units per edge contribution
+    so the result is bit-identical to the unrolled-CTE oracle."""
     nodes = emb.select(F.col("vec_id").alias("id"))
     n = nodes.count()
-    pairs = threshold_similarity_join(emb, None, tau=0.35).select("a_id", "b_id")
     edges = pairs.select(
         F.col("a_id").alias("a"), F.col("b_id").alias("b")
     ).unionAll(pairs.select(F.col("b_id").alias("a"), F.col("a_id").alias("b")))
@@ -803,6 +806,74 @@ def q_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id"),
         F.floor(F.col("r") * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("pr_e6"),
     )
+
+
+@query(
+    "similarity_pagerank",
+    oracle="WITH " + BOUNDED_GRAPH_CTES + """,
+nodes AS (SELECT vec_id AS id FROM embeddings),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+pairs AS (SELECT a_id AS a, b_id AS b FROM bounded_edges),"""
+    + _PAGERANK_TAIL,
+)
+def q_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank-style centrality over the BOUNDED similarity graph (r6 #1:
+    top-k >=tau edges, linear in the corpus): 3 power iterations of
+    PageRank (damping 0.85) — high-rank vectors sit in dense similarity
+    neighborhoods, and on the k-NN graph those neighborhoods are exactly
+    what survives the emission cap.  Cross-engine exactness via the same
+    nano-unit fixed-point trick as the all-pairs variant; the oracle
+    unrolls the same 3 iterations over the same bounded graph."""
+    emb = _emb(spark, sf_dir)
+    from crawling_vectordb_llm_spark.suite.dedup_suite import _bounded_edges
+
+    pairs = _bounded_edges(emb).select("a_id", "b_id")
+    return _pagerank_query(emb, pairs)
+
+
+@query(
+    "similarity_pagerank_allpairs",
+    oracle="""
+WITH nodes AS (SELECT vec_id AS id FROM embeddings),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.35
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT a AS u, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY a),
+r0 AS (SELECT id, 1.0 / cnt AS r FROM nodes CROSS JOIN n),
+c1 AS (SELECT e.b AS id, CAST(floor(r0.r / deg.d * 1e9 + 0.5) AS BIGINT) AS c
+       FROM edges e JOIN r0 ON e.a = r0.id JOIN deg ON deg.u = e.a),
+s1 AS (SELECT id, CAST(SUM(c) AS BIGINT) AS s FROM c1 GROUP BY id),
+r1 AS (SELECT nodes.id, 0.15 / cnt + 0.85 * (COALESCE(s1.s, 0) / 1e9) AS r
+       FROM nodes CROSS JOIN n LEFT JOIN s1 ON s1.id = nodes.id),
+c2 AS (SELECT e.b AS id, CAST(floor(r1.r / deg.d * 1e9 + 0.5) AS BIGINT) AS c
+       FROM edges e JOIN r1 ON e.a = r1.id JOIN deg ON deg.u = e.a),
+s2 AS (SELECT id, CAST(SUM(c) AS BIGINT) AS s FROM c2 GROUP BY id),
+r2 AS (SELECT nodes.id, 0.15 / cnt + 0.85 * (COALESCE(s2.s, 0) / 1e9) AS r
+       FROM nodes CROSS JOIN n LEFT JOIN s2 ON s2.id = nodes.id),
+c3 AS (SELECT e.b AS id, CAST(floor(r2.r / deg.d * 1e9 + 0.5) AS BIGINT) AS c
+       FROM edges e JOIN r2 ON e.a = r2.id JOIN deg ON deg.u = e.a),
+s3 AS (SELECT id, CAST(SUM(c) AS BIGINT) AS s FROM c3 GROUP BY id)
+SELECT nodes.id AS vec_id,
+       CAST(floor((0.15 / cnt + 0.85 * (COALESCE(s3.s, 0) / 1e9)) * 1e6 + 0.5)
+            AS BIGINT) AS pr_e6
+FROM nodes CROSS JOIN n LEFT JOIN s3 ON s3.id = nodes.id
+""",
+)
+def q_similarity_pagerank_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED variant: PageRank over the full tau=0.35 cosine graph —
+    kept as the explicit all-pairs form (edge volume is the measured
+    quadratic term; prefer `similarity_pagerank`, the bounded graph).
+    Scale shape per iteration is unchanged: one edge-side join against
+    the broadcast rank table plus one aggregation shuffle on the
+    destination id."""
+    emb = _emb(spark, sf_dir)
+    pairs = threshold_similarity_join(emb, None, tau=0.35).select("a_id", "b_id")
+    return _pagerank_query(emb, pairs)
 
 
 _CROSS_ENCODER_ORACLE = """

@@ -76,6 +76,14 @@ TIERED: dict[str, dict[str, str]] = {
     "dedup_clusters": {"embeddings": "vec_id % 10 = 0"},
     "near_dup_pipeline_clusters": {"embeddings": "vec_id % 10 = 0"},
     "similarity_pagerank": {"embeddings": "vec_id % 10 = 0"},
+    # r7: the explicit all-pairs variants share the old entries' oracles
+    # (same quadratic scored CTE + recursive fixpoint), so they tier the
+    # same way; the BOUNDED headline forms above keep tiering because
+    # their ORACLES still rank over the all-pairs scored CTE even though
+    # the Spark side is now linear-output.
+    "dedup_clusters_allpairs": {"embeddings": "vec_id % 10 = 0"},
+    "near_dup_pipeline_clusters_allpairs": {"embeddings": "vec_id % 10 = 0"},
+    "similarity_pagerank_allpairs": {"embeddings": "vec_id % 10 = 0"},
     "recursive_cte_reachability": {
         "embeddings": "vec_id % 10 = 0 OR vec_id < 5"
     },
