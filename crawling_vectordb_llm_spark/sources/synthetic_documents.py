@@ -48,10 +48,24 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-VOCAB = np.array(
+_BASE_WORDS = (
     "spark window merge table column vector stream value data small join "
     "filter big group hash customer sort order slow line part fast row the "
     "agg key query a scan batch".split()
+)
+# r7 (VERDICT r6 #6): with the driver fixture's 30-word vocabulary the
+# 3-gram shingle space is only 30^3 = 27k, so at fresh sf3 (~8M corpus
+# shingles) MinHash bands collided by pigeonhole and manufactured ~155k
+# spurious candidate pairs between UNRELATED documents (19k -> 155k for
+# 3x data) — a fixture artifact no real corpus reproduces.  Suffix-
+# expanding to 30*137 = 4,110 words lifts shingle space to ~6.9e10 >>
+# corpus shingles at every bench scale, so candidate volume tracks the
+# PLANTED duplicate rate (linear) instead of band pigeonholing, while the
+# token shapes (letters + short digit tails) stay text-like.  The bare
+# base words remain in the vocabulary (i=0), so stopword/quality
+# heuristics still see them.
+VOCAB = np.array(
+    [f"{w}{i}" if i else w for w in _BASE_WORDS for i in range(137)]
 )
 LANGS = np.array(["en", "de", "zh", "fr", "es"])
 LANG_P = np.array([0.40, 0.15, 0.15, 0.15, 0.15])
