@@ -67,10 +67,26 @@ _BANDS = 8
 
 def _round6_half_up(v: float) -> float:
     """Bit-identical twin of Spark's round(double, 6): Spark's Round
-    converts via BigDecimal.valueOf (Double.toString — shortest decimal
-    repr, which Python's repr also produces), then setScale(6,
+    converts via BigDecimal.valueOf (Double.toString), then setScale(6,
     HALF_UP).  Python's builtin round() is banker's rounding and would
-    diverge on exact half-way decimals."""
+    diverge on exact half-way decimals.
+
+    JVM-version caveat (ADVICE r6): Double.toString is guaranteed the
+    SHORTEST round-trip decimal — equal to Python's repr — only from
+    JDK 19 (JDK-4511638); earlier JVMs (including this environment's
+    JDK 17) can emit a longer digit string for rare doubles, and the
+    two spellings could quantize differently ONLY when they straddle an
+    exact 6-dp halfway boundary.  Both spellings round-trip to the same
+    double, so they differ beyond the 17th significant digit — for a
+    boundary straddle the shortest repr itself would have to terminate
+    exactly at ...5 AND the JVM string to deviate below it, which no
+    value in the jaccard domain (small-integer ratios k/m) has ever
+    produced; the three-mode byte-parity test is the standing tripwire.
+    Quantizing the EXACT binary value (Decimal(v)) instead would remove
+    the JVM dependence but break parity the other way: e.g. 0.1234565
+    has shortest repr '0.1234565' (rounds up to 0.123457) but exact
+    binary ...64999…, which rounds DOWN — so repr is kept
+    deliberately."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(
@@ -287,6 +303,7 @@ def process_batch(
     max_collect_pairs: int = 200_000,
     max_driver_batch_rows: int = 200_000,
     max_driver_index_bytes: int = 256 << 20,
+    max_collect_band_rows: int = 2_000_000,
 ) -> None:
     """The foreachBatch body — safe to replay: reads only batches < id,
     writes only batch=<id> dirs (overwrite).  Mode selection per the
@@ -336,7 +353,7 @@ def process_batch(
     _process_batch_distributed(
         spark, docs, batch_id, corpus_dir, index_dir, idx_batch_dir,
         pairs_batch_dir, tau, shingle_n, max_bucket, max_collect_pairs,
-        _mark,
+        _mark, max_collect_band_rows=max_collect_band_rows,
     )
     _emit_profile(batch_id, marks, profile)
 
@@ -438,21 +455,45 @@ def _process_batch_distributed(
     max_bucket: int,
     max_collect_pairs: int,
     _mark,
+    max_collect_band_rows: int = 2_000_000,
 ) -> None:
     """Distributed-mode body (the r5 shape): mapInPandas signer evaluated
-    once, corpus/index writes overlapped with the probe, broadcast
-    touched-bucket filter, one groupBy pair-gen shuffle, flood-cap-
-    bounded collect, candidate-pruned verify."""
+    once, corpus/index writes overlapped with the probe, touched-bucket
+    filter, one groupBy pair-gen shuffle, flood-cap-bounded collect,
+    candidate-pruned verify.
+
+    The touched-bucket/new-id bookkeeping is itself mode-adaptive
+    (ADVICE r6): a band-row collect here is bands×batch rows, and under
+    the availableNow throughput posture one mega-batch can be the whole
+    outstanding corpus — an unbounded driver collect in exactly the mode
+    chosen BECAUSE the batch exceeded the driver bounds.  So the collect
+    is capped at `max_collect_band_rows` (3-long rows; ~50 MB pandas at
+    the default): under the cap the touched filter is a broadcast numpy
+    set and the new-involving filter runs driver-side (fastest, the
+    measured r6 shape); past it NOTHING batch-sized touches the driver —
+    touched buckets via a (band, band_hash) semi-join, the new-involving
+    filter via id semi-joins, the cross-band dedup via a distributed
+    distinct, and only the flood-cap-bounded candidate list is ever
+    collected."""
     import threading
 
     band_rows = portable_banded_rows_fast(docs, shingle_n=shingle_n).persist()
-    # ONE collect of the batch's band rows (bands x batch rows of 3
-    # longs — O(batch), the same boundedness as the micro-batch itself):
-    # they drive the touched-bucket filter as a broadcast SET and the
-    # new-involving pair filter driver-side.  The persisted plan also
-    # feeds the index write.
-    new_pdf = band_rows.toPandas()
+    # bounded probe collect: band rows drive the broadcast fast path only
+    # while they provably fit (limit stops the scan at cap+1 rows)
+    new_pdf = band_rows.limit(max_collect_band_rows + 1).toPandas()
+    driver_bookkeeping = len(new_pdf) <= max_collect_band_rows
+    if not driver_bookkeeping:
+        new_pdf = None
     _mark("sign_collect_band_rows")
+
+    # the index LISTING must happen before the background overwrite of
+    # idx_batch_dir starts: on a REPLAYED batch that overwrite first
+    # deletes the existing batch=<id> files, and a concurrent
+    # spark.read listing/footer pass over index_dir could hit
+    # FileNotFoundException and fail the very replay exactly-once
+    # recovery depends on (ADVICE r6).  _read_index_before prunes
+    # batch >= id at execution, so pre-listing is also correct.
+    old_rows = _read_index_before(spark, index_dir, batch_id)
 
     # the corpus and index writes are needed only by FUTURE batches, so
     # they run concurrently with this batch's probe (Spark schedules
@@ -484,56 +525,86 @@ def _process_batch_distributed(
         ),
     ]
     try:
-        # probe = ONE job: scan index (batch < id), keep touched buckets
-        # via a broadcast key set (map-only), ONE groupBy shuffle of the
-        # touched rows, in-bucket pair-gen, collect.  Driver then drops
-        # old-old pairs, dedups cross-band copies, applies the cap.
         import numpy as np
 
         from crawling_vectordb_llm_spark.operators.dedup import (
             _pairs_from_banded,
         )
 
-        touched_keys = np.unique(
-            new_pdf["band_hash"].to_numpy() * _BANDS
-            + new_pdf["band"].to_numpy()
-        )
-        bt = spark.sparkContext.broadcast(touched_keys)
+        if driver_bookkeeping:
+            # probe = ONE job: scan index (batch < id), keep touched
+            # buckets via a broadcast key set (map-only), ONE groupBy
+            # shuffle of the touched rows, in-bucket pair-gen, collect.
+            # Driver then drops old-old pairs, dedups cross-band copies,
+            # applies the cap.
+            touched_keys = np.unique(
+                new_pdf["band_hash"].to_numpy() * _BANDS
+                + new_pdf["band"].to_numpy()
+            )
+            bt = spark.sparkContext.broadcast(touched_keys)
 
-        def _touched_filter(batches):
-            tk = bt.value
-            for pdf in batches:
-                if len(pdf) == 0:
+            def _touched_filter(batches):
+                tk = bt.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    keys = (
+                        pdf["band_hash"].to_numpy() * _BANDS
+                        + pdf["band"].to_numpy()
+                    )
+                    yield pdf[np.isin(keys, tk)]
+
+            old_touched = old_rows.mapInPandas(
+                _touched_filter, schema=_EMPTY_INDEX_SCHEMA
+            )
+            combined = old_touched.unionByName(
+                spark.createDataFrame(new_pdf, schema=_EMPTY_INDEX_SCHEMA)
+            )
+            raw_pairs = (
+                _pairs_from_banded(combined, max_bucket, distinct=False)
+                .limit(max_collect_pairs + 1)
+                .collect()
+            )
+            _mark("probe_collect_pairs")
+            overflow = len(raw_pairs) > max_collect_pairs
+            new_ids = set(new_pdf["__id"])
+            seen = set()
+            cand_rows = []
+            for r in raw_pairs:
+                k = (r["a_id"], r["b_id"])
+                if k in seen or (
+                    k[0] not in new_ids and k[1] not in new_ids
+                ):
                     continue
-                keys = (
-                    pdf["band_hash"].to_numpy() * _BANDS
-                    + pdf["band"].to_numpy()
-                )
-                yield pdf[np.isin(keys, tk)]
-
-        old_rows = _read_index_before(spark, index_dir, batch_id)
-        old_touched = old_rows.mapInPandas(
-            _touched_filter, schema=_EMPTY_INDEX_SCHEMA
-        )
-        combined = old_touched.unionByName(
-            spark.createDataFrame(new_pdf, schema=_EMPTY_INDEX_SCHEMA)
-        )
-        raw_pairs = (
-            _pairs_from_banded(combined, max_bucket, distinct=False)
-            .limit(max_collect_pairs + 1)
-            .collect()
-        )
-        _mark("probe_collect_pairs")
-        overflow = len(raw_pairs) > max_collect_pairs
-        new_ids = set(new_pdf["__id"])
-        seen = set()
-        cand_rows = []
-        for r in raw_pairs:
-            k = (r["a_id"], r["b_id"])
-            if k in seen or (k[0] not in new_ids and k[1] not in new_ids):
-                continue
-            seen.add(k)
-            cand_rows.append(k)
+                seen.add(k)
+                cand_rows.append(k)
+        else:
+            # mega-batch posture: every batch-sized set stays distributed.
+            # Touched buckets = old rows whose (band, band_hash) appears
+            # in this batch's band rows (semi-join, the
+            # incremental_candidate_pairs shape); new-involving filter =
+            # id semi-joins against the batch; cross-band dedup = one
+            # distinct shuffle.  Only the capped candidate list is
+            # collected.
+            new_keys = band_rows.select("band", "band_hash").distinct()
+            old_touched = old_rows.join(
+                new_keys, ["band", "band_hash"], "left_semi"
+            )
+            combined = old_touched.unionByName(band_rows)
+            all_pairs = _pairs_from_banded(
+                combined, max_bucket, distinct=False
+            )
+            nid_a = docs.select(F.col("doc_id").alias("a_id"))
+            nid_b = docs.select(F.col("doc_id").alias("b_id"))
+            new_involving = (
+                all_pairs.join(nid_a, "a_id", "left_semi")
+                .unionByName(all_pairs.join(nid_b, "b_id", "left_semi"))
+                .distinct()
+            )
+            raw_pairs = new_involving.limit(max_collect_pairs + 1).collect()
+            _mark("probe_collect_pairs")
+            overflow = len(raw_pairs) > max_collect_pairs
+            cand_rows = [(r["a_id"], r["b_id"]) for r in raw_pairs]
     finally:
         for t in threads:
             t.join()

@@ -121,5 +121,13 @@ def test_driver_and_distributed_modes_agree(spark, tmp_path):
     got_mixed = run(str(tmp_path / "mix"), max_driver_index_bytes=1)
     # pair-count cap of 0 forces the overflow recompute in driver mode
     got_ovf = run(str(tmp_path / "ovf"), max_collect_pairs=0)
-    assert got_driver == got_dist == got_mixed == got_ovf
+    # band-row cap of 0 forces the distributed mode's SEMI-JOIN
+    # bookkeeping (ADVICE r6: no batch-sized driver collect) — touched
+    # buckets, new-id filter, and cross-band dedup all shuffle-side
+    got_semi = run(
+        str(tmp_path / "semi"),
+        max_driver_batch_rows=0,
+        max_collect_band_rows=0,
+    )
+    assert got_driver == got_dist == got_mixed == got_ovf == got_semi
     assert got_driver  # fixture must actually contain dups
