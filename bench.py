@@ -125,17 +125,22 @@ def main() -> None:
         gc.collect()  # drop py-side refs so ContextCleaner can unpersist
         spark.sparkContext._jvm.System.gc()
 
-    # ingest-shaped pipeline throughput (BASELINE.md bench plan): clean →
-    # hash-embed → normalize → bulk parquet write, rows/s
+    # ingest-shaped pipeline throughput — DEFINED PROTOCOL (VERDICT r6
+    # #5; full statement in BASELINE.md "Ingest throughput protocol"):
+    # coverage = clean → normalize → deterministic hash-embed → bulk
+    # parquet write (plans/index_build.ingest_documents); input = the
+    # bench SF's documents table replicated 20x with offset ids,
+    # repartitioned to SPARK_GRAFT_CPUS and localCheckpointed (so reps
+    # measure the pipeline, not the fixture scan); posture = warm JVM
+    # (headline queries already ran), 1 untimed warm-up rep + 3 timed
+    # reps, MEDIAN reported (best-of-3 hid load spikes and made rounds
+    # incomparable: 12k-139k rows/s across r6 artifacts).
     import shutil
     import tempfile
 
     from crawling_vectordb_llm_spark.catalog import read_table
     from crawling_vectordb_llm_spark.plans.index_build import ingest_documents
 
-    # the raw doc fixture is small enough that per-job overhead dominates a
-    # single pass; replicate 20x (ids offset per copy) so the measured
-    # rows/s is throughput, not scheduling noise
     base_docs = read_table(spark, sf_dir, "documents")
     docs = None
     for i in range(20):
@@ -145,13 +150,18 @@ def main() -> None:
         docs = c if docs is None else docs.unionByName(c)
     docs = docs.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).localCheckpoint()
     n_docs = docs.count()
-    ingest_s = float("inf")
-    for _ in range(3):  # best-of-3: the write+UDF stage is load-sensitive
+
+    def _ingest_once() -> float:
         out = tempfile.mkdtemp(prefix="bench_ingest_")
         t0 = time.time()
         ingest_documents(docs).write.mode("overwrite").parquet(out + "/collection")
-        ingest_s = min(ingest_s, time.time() - t0)
+        took = time.time() - t0
         shutil.rmtree(out, ignore_errors=True)
+        return took
+
+    _ingest_once()  # warm-up: UDF/codegen compile + first-write JIT
+    ingest_reps = sorted(_ingest_once() for _ in range(3))
+    ingest_s = ingest_reps[1]  # median
 
     # streaming micro-bench (VERDICT r4 #4): throughput/latency/state for
     # the two stateful paths.  Reported under its own key and NOT added
@@ -174,6 +184,12 @@ def main() -> None:
         "sf": sf,
         "n": n_runs,
         "ingest_rows_per_s": round(n_docs / ingest_s, 1),
+        "ingest_protocol": {
+            "rows": n_docs,
+            "reps_s": [round(t, 3) for t in ingest_reps],
+            "stat": "median_of_3_warm_after_1_warmup",
+            "covers": "clean+normalize+hash_embed+parquet_write",
+        },
         "streaming": streaming,
     }
     print(json.dumps(payload))

@@ -142,6 +142,12 @@ def main() -> int:
             raise SystemExit(f"unknown flag {args[0]!r}")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    unknown = only - set(QUERIES)
+    if unknown:
+        # a typo'd (or misplaced-flag) name must not silently report a
+        # clean "0 failures" over zero queries (r7: sf1_fresh.py used to
+        # forward flags here as names)
+        raise SystemExit(f"unknown query names: {sorted(unknown)}")
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:

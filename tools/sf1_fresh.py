@@ -229,9 +229,27 @@ if __name__ == "__main__":
     elif cmd == "bench3":
         bench3()
     elif cmd == "selfcheck":
+        # selfcheck.py parses --flags only BEFORE the sf_dir positional;
+        # forward ours there and query-name positionals after.  (r7 fix:
+        # flags used to land after BIG, where selfcheck treated them as
+        # query names — unknown ones now fail loudly on its side too.)
+        rest = sys.argv[2:]
+        flags: list[str] = []
+        pos: list[str] = []
+        i = 0
+        while i < len(rest):
+            if rest[i] in ("--json", "--oracle-timeout"):
+                flags += rest[i : i + 2]
+                i += 2
+            elif rest[i].startswith("--"):
+                flags.append(rest[i])
+                i += 1
+            else:
+                pos.append(rest[i])
+                i += 1
         os.execv(
             sys.executable,
-            [sys.executable, "tools/selfcheck.py", BIG] + sys.argv[2:],
+            [sys.executable, "tools/selfcheck.py"] + flags + [BIG] + pos,
         )
     else:
         raise SystemExit(f"unknown command {cmd!r}")
