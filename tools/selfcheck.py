@@ -123,6 +123,11 @@ def build_tiered_dir(sf_dir: str, preds: dict[str, str]) -> str:
     return dest
 
 
+# Flags that take a value — shared with tools/sf1_fresh.py's forwarder so a
+# new value-taking flag added here is forwarded correctly there (ADVICE r7).
+VALUE_FLAGS = ("--json", "--oracle-timeout")
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_out = None

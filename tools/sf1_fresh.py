@@ -233,12 +233,14 @@ if __name__ == "__main__":
         # forward ours there and query-name positionals after.  (r7 fix:
         # flags used to land after BIG, where selfcheck treated them as
         # query names — unknown ones now fail loudly on its side too.)
+        from tools.selfcheck import VALUE_FLAGS
+
         rest = sys.argv[2:]
         flags: list[str] = []
         pos: list[str] = []
         i = 0
         while i < len(rest):
-            if rest[i] in ("--json", "--oracle-timeout"):
+            if rest[i] in VALUE_FLAGS:
                 flags += rest[i : i + 2]
                 i += 2
             elif rest[i].startswith("--"):
