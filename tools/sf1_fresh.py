@@ -145,7 +145,8 @@ def bench3() -> None:
     scales, e = ln(t30/t10)/ln 3 — overhead is amortized there, so
     e >~ 1.2 means genuinely superlinear shuffle/pair growth while a big
     sf0.1->sf1 ratio with e ~ 1 is just fixed overhead at the tiny scale.
-    Writes BENCH_SF1_r06.json."""
+    Writes BENCH_SF1_r08.json (round-8 re-measurement on the enlarged
+    4,110-word vocabulary fixtures, which invalidated the r6 numbers)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     import math
 
@@ -200,7 +201,7 @@ def bench3() -> None:
             key=lambda q: -ratios[q],
         ),
     }
-    path = os.path.join(repo, "BENCH_SF1_r06.json")
+    path = os.path.join(repo, "BENCH_SF1_r08.json")
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"\nwrote {path}")
