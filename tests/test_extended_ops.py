@@ -247,3 +247,36 @@ def test_triangle_counts_planted_graph(spark):
     df = spark.createDataFrame(edges, "a_id long, b_id long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_heavy_hitter_sketch_exact_above_rank_40(spark, tmp_path):
+    """heavy_hitter_terms' oracle counts ALL (lang, term) pairs, so the
+    approx_top_k sketch must return the COMPLETE exact count set whenever
+    the per-lang vocabulary fits under k — including vocabularies far
+    larger than the old k=40 (ADVICE r7: the 4,110-word fresh fixtures
+    realize thousands of distinct terms per lang, where rank-boundary
+    ties made the top-40 form nondeterministic vs the full oracle)."""
+    import collections
+    import random
+
+    from crawling_vectordb_llm_spark.suite.text_suite import (
+        q_heavy_hitter_terms,
+    )
+
+    rng = random.Random(8)
+    vocab = [f"w{i:04d}" for i in range(500)]  # >> 40, with heavy ties
+    rows, truth = [], collections.Counter()
+    for doc_id in range(200):
+        lang = ("en", "zh")[doc_id % 2]
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(60)]
+        for w in words:
+            truth[(lang, w)] += 1
+        rows.append((doc_id, " ".join(words), lang, "s", 1))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["lang"], r["term"]): r["cnt"]
+        for r in q_heavy_hitter_terms(spark, str(tmp_path)).collect()
+    }
+    assert got == dict(truth)
