@@ -606,24 +606,32 @@ WITH toks AS (
          unnest(list_transform(range(1, len(w)),
                                i -> {'h': w[i], 't': w[i + 1]})) AS g
   FROM toks WHERE len(w) >= 2
-), big AS (
+), big AS MATERIALIZED (
+  -- MATERIALIZED (r8): big/bigc are each referenced by several
+  -- downstream CTEs; DuckDB inlines plain CTEs per reference, and with
+  -- the 4,110-word vocabulary (249k distinct bigrams at 5k docs, vs
+  -- ~900 under the old 30-word vocab) the recomputed-inline plan blew
+  -- past 300 s where the materialized plan takes ~1.4 s.
   SELECT doc_id, g.h AS head, g.t AS tail FROM grams
-), bigc AS (
+), bigc AS MATERIALIZED (
   SELECT head, tail, COUNT(*) AS c2 FROM big GROUP BY head, tail
 ), unic AS (
   SELECT head, SUM(c2) AS c1 FROM bigc GROUP BY head
+), tailc AS (
+  -- explicit tail-count table JOINed in (r8), replacing a correlated
+  -- scalar subquery (SELECT SUM(c2) ... WHERE x.tail = b.tail) —
+  -- same shape as the Spark side's tailc broadcast
+  SELECT tail, SUM(c2) AS ct FROM bigc GROUP BY tail
 ), tot AS (
-  SELECT CAST(SUM(c2) AS DOUBLE) AS n,
-         CAST(COUNT(DISTINCT tail) AS DOUBLE) AS v
-  FROM bigc
+  SELECT CAST(SUM(c2) AS DOUBLE) AS n FROM bigc
 ), scored AS (
   SELECT b.doc_id,
          CAST(ROUND(ln(0.7 * (bc.c2 / u.c1)
-                     + 0.3 * ((SELECT SUM(c2) FROM bigc x WHERE x.tail = b.tail)
-                              / t.n)), 6) AS DECIMAL(22,6)) AS lp
+                     + 0.3 * (tc.ct / t.n)), 6) AS DECIMAL(22,6)) AS lp
   FROM big b
   JOIN bigc bc ON bc.head = b.head AND bc.tail = b.tail
   JOIN unic u ON u.head = b.head
+  JOIN tailc tc ON tc.tail = b.tail
   CROSS JOIN tot t
 )
 SELECT doc_id, COUNT(*) AS n_bigrams,

@@ -90,6 +90,10 @@ TIERED: dict[str, dict[str, str]] = {
     "simhash_near_dup": {"documents": "doc_id % 10 = 0"},
     "bpe_token_count": {"documents": "doc_id % 10 = 0"},
 }
+# (r8 note: bigram_logprob_score briefly tiered here when the 4,110-word
+# vocabulary pushed its oracle past 300 s at sf1; the real fix was the
+# oracle itself — MATERIALIZED CTEs + decorrelated tail counts,
+# text_suite.py — after which it runs untiered in ~9 s at fresh sf1.)
 
 
 def build_tiered_dir(sf_dir: str, preds: dict[str, str]) -> str:
