@@ -132,7 +132,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_rounds: int = 12,
-    max_driver_edges: int = 500_000,
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """Resolve an undirected pair list to (node, component) labels,
     component id = min node id in the component.
@@ -145,13 +145,20 @@ def connected_components(
 
     Adaptive physical choice (the iterative analog of AQE's size-based
     join selection): the distinct edge count is already known from the
-    init-checkpoint fingerprint; at or below `max_driver_edges` (~8 MB
-    of longs) the O(rounds) shuffle ladder costs more than collecting the
-    edges and running path-compressed union-find on the driver, so small
-    graphs take that path — byte-identical labels, ~6 shuffle stages
-    saved.  Above it, the alternating large-star/small-star fixpoint runs
-    distributed; dup graphs at 100 TB land there, but their SURVIVING
-    edge lists after upstream near-dup pruning often do not."""
+    init-checkpoint fingerprint; at or below `max_driver_edges` (~32 MB
+    of longs at the 2M default — the same bound the incremental-dedup
+    stream uses for its band-row collect, and far under the 100 TB-safe
+    driver budget) the O(rounds) shuffle ladder costs more than
+    collecting the edges and running path-compressed union-find on the
+    driver, so small graphs take that path — byte-identical labels, ~6
+    shuffle stages saved.  (r8: raised from 500k, which sat exactly
+    between the fresh-fixture sf1 and sf3 bounded-graph sizes, so the
+    three-point bench measured a mode switch instead of data growth;
+    the distributed path's own slope is measured at fixed mode in
+    SCALE.md round 8.)  Above it, the alternating large-star/small-star
+    fixpoint runs distributed; dup graphs at 100 TB land there, but
+    their SURVIVING edge lists after upstream near-dup pruning often do
+    not."""
     canon = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))

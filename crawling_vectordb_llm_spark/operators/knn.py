@@ -460,9 +460,17 @@ def _topk_tau_gemm(
     itself (symmetric matrix — the per-row direction alone covers every
     item) with the self-pair masked out.
 
-    Ranking is on round(score, 6) desc, id asc — ids are pre-sorted and
-    the argsorts stable, so ties resolve identically to the global
-    grouped_topk stage and to a SQL row_number oracle."""
+    Ranking is on round(score, 6) desc, id asc.  Selection is
+    OUTPUT-SENSITIVE (r8): the >=tau mask is extracted sparse
+    (np.nonzero) and only the surviving candidates are lexsort-ranked —
+    rank cost ∝ candidates, not |chunk|×|B| (the previous full-row
+    stable argsort was O(|B| log |B|) per row for a k of 10 and
+    dominated the kernel: 25 s vs the threshold join's 4.5 s at sf3 for
+    the same block grid; the sparse form microbenches 4.5× faster than
+    even that full-sort at 10% planted-dup density).  ids are pre-sorted
+    ascending, so index order = id order and the lexsort tiebreak
+    matches the global grouped_topk stage and the SQL row_number oracle
+    exactly."""
     empty = (np.array([]), np.array([]), np.array([]))
     if len(a_ids) == 0 or len(b_ids) == 0 or k <= 0:
         return empty
@@ -473,6 +481,17 @@ def _topk_tau_gemm(
     a_mat = a_mat / np.maximum(np.linalg.norm(a_mat, axis=1, keepdims=True), 1e-30)
     b_mat = b_mat / np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-30)
 
+    def _rank_keep(grp: np.ndarray, other: np.ndarray, sc: np.ndarray, kk: int):
+        """Rank candidates (grp, score desc, other asc), keep rank < kk.
+        Returns the kept (grp_index, other_index, score) triplets."""
+        order = np.lexsort((other, -sc, grp))
+        g, o, s = grp[order], other[order], sc[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        sizes = np.diff(np.append(starts, len(g)))
+        ranks = np.arange(len(g)) - np.repeat(starts, sizes)
+        keep = ranks < kk
+        return g[keep], o[keep], s[keep]
+
     items, neighs, scs = [], [], []
     b_items, b_neighs, b_scs = [], [], []
     ka = min(k, len(b_ids))
@@ -481,31 +500,27 @@ def _topk_tau_gemm(
         am = a_mat[start : start + chunk_rows]
         ai = a_ids[start : start + chunk_rows]
         scores = am @ b_mat.T  # (chunk, |B|)
-        rs = np.where(scores >= tau, np.round(scores, 6), -np.inf)
+        valid = scores >= tau
         if diagonal:
-            rs[ai[:, None] == b_ids[None, :]] = -np.inf
-        # A direction: per-row top-k (columns id-asc, stable → id tiebreak)
-        top = np.argsort(-rs, axis=1, kind="stable")[:, :ka]
-        rows = np.repeat(np.arange(rs.shape[0]), top.shape[1])
-        cols = top.ravel()
-        vals = rs[rows, cols]
-        keep = vals > -np.inf
-        items.append(ai[rows[keep]])
-        neighs.append(b_ids[cols[keep]])
-        scs.append(vals[keep])
+            valid &= ai[:, None] != b_ids[None, :]
+        ri, ci = np.nonzero(valid)
+        if len(ri) == 0:
+            continue
+        sc = np.round(scores[ri, ci], 6)
+        # A direction: per-row top-k over B columns (complete per chunk —
+        # each A row sees every B column)
+        ga, oa, sa = _rank_keep(ri, ci, sc, ka)
+        items.append(ai[ga])
+        neighs.append(b_ids[oa])
+        scs.append(sa)
         if not diagonal:
-            # B direction: per-column top-k within this chunk (rows id-asc,
-            # stable → id tiebreak); partial lists merge after the loop
-            rst = rs.T  # (|B|, chunk)
-            kbc = min(kb, rst.shape[1])
-            topb = np.argsort(-rst, axis=1, kind="stable")[:, :kbc]
-            browz = np.repeat(np.arange(rst.shape[0]), topb.shape[1])
-            bcols = topb.ravel()
-            bvals = rst[browz, bcols]
-            bkeep = bvals > -np.inf
-            b_items.append(b_ids[browz[bkeep]])
-            b_neighs.append(ai[bcols[bkeep]])
-            b_scs.append(bvals[bkeep])
+            # B direction: per-column top-k within this chunk (row index
+            # ascending = a-id ascending); partial lists merge after the
+            # loop
+            gb, ob, sb = _rank_keep(ci, ri, sc, kb)
+            b_items.append(b_ids[gb])
+            b_neighs.append(ai[ob])
+            b_scs.append(sb)
     if b_items:
         # cross-chunk merge for the B direction: rank (item, score desc,
         # neighbor asc), keep rank < k — vectorized, no Python loop

@@ -12,6 +12,13 @@ the bounded top-k consumers vs their `_allpairs` variants.
 Usage:
   python tools/ab_bench.py [--reps N] [--json OUT] SF_DIR A:B [A2:B2 ...]
 
+Each side is `query` or `query@/fixture/dir` (default dir = SF_DIR), so
+the SAME query can be interleaved across two scales in one process —
+the drift-immune way to measure a scaling exponent (r8): pair
+`q@/tmp/sf1_fresh:q@/tmp/sf3_fresh` and e = ln(B/A ratio)/ln(3), with
+ambient load canceling in the per-rep ratio exactly as for A/B of two
+queries.
+
 Each pair runs 1 untimed cold rep per side (plan compile + cache warm),
 then N interleaved timed reps (default 5).  Output: a markdown table +
 one JSON line with per-side medians, the median of per-rep ratios, and
@@ -45,10 +52,18 @@ def _reap(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
+def _side(spec: str, default_dir: str) -> tuple[str, str]:
+    """'query' or 'query@/dir' -> (query_name, fixture_dir)."""
+    name, _, d = spec.partition("@")
+    return name, (d or default_dir)
+
+
 def ab_pair(spark, sf_dir: str, a: str, b: str, reps: int) -> dict:
+    a, dir_a = _side(a, sf_dir)
+    b, dir_b = _side(b, sf_dir)
     fa, fb = QUERIES[a], QUERIES[b]
-    _run(fa, spark, sf_dir)  # cold, uncounted
-    _run(fb, spark, sf_dir)
+    _run(fa, spark, dir_a)  # cold, uncounted
+    _run(fb, spark, dir_b)
     _reap(spark)
     walls_a, walls_b = [], []
     for rep in range(reps):
@@ -56,17 +71,19 @@ def ab_pair(spark, sf_dir: str, a: str, b: str, reps: int) -> dict:
         # start, page-cache warmth, JIT drift) hit both sides symmetrically
         # instead of biasing the per-rep ratio (ADVICE r7).
         if rep % 2 == 0:
-            walls_a.append(_run(fa, spark, sf_dir))
-            walls_b.append(_run(fb, spark, sf_dir))
+            walls_a.append(_run(fa, spark, dir_a))
+            walls_b.append(_run(fb, spark, dir_b))
         else:
-            walls_b.append(_run(fb, spark, sf_dir))
-            walls_a.append(_run(fa, spark, sf_dir))
+            walls_b.append(_run(fb, spark, dir_b))
+            walls_a.append(_run(fa, spark, dir_a))
         _reap(spark)
     med = statistics.median
     ratios = sorted(wb / max(wa, 1e-9) for wa, wb in zip(walls_a, walls_b))
     return {
         "a": a,
         "b": b,
+        "a_dir": dir_a,
+        "b_dir": dir_b,
         "a_median_s": round(med(walls_a), 3),
         "b_median_s": round(med(walls_b), 3),
         "b_over_a_median_ratio": round(med(ratios), 3),
@@ -92,7 +109,8 @@ def main() -> None:
         raise SystemExit(__doc__)
     sf_dir, pairs = args[0], args[1:]
     for p in pairs:
-        for name in p.split(":", 1):
+        for spec in p.split(":", 1):
+            name = spec.partition("@")[0]
             if name not in QUERIES:
                 raise SystemExit(f"unknown query {name!r}")
     spark = get_spark("ab_bench")

@@ -46,7 +46,7 @@ def _one_run(spark, feed: str, changelog: bool) -> dict:
     )
     wall = time.time() - t0
     out.count()  # materialize the memory sink read like the bench does
-    prog = [
+    prog = [  # noqa: E501 — read progress BEFORE dropping the sink table
         p if isinstance(p, dict) else json.loads(p.json)
         for p in query.recentProgress
         if p is not None
@@ -61,6 +61,13 @@ def _one_run(spark, feed: str, changelog: bool) -> dict:
         for p in prog
         for op in (p.get("stateOperators") or [])
     )
+    # Drop the memory-sink table: the first r8 A/B run left every rep's
+    # sink resident in the JVM and both sides slowed ~2× monotonically
+    # across reps (wall 20 -> 41 s, commit_ms 320 -> 936 s) — heap
+    # accumulation, not ambient.  The driver bench runs ONE stream per
+    # process, so this contamination is an artifact of repeating in-process.
+    spark = out.sparkSession
+    spark.catalog.dropTempView(query.name)
     return {
         "wall_s": round(wall, 2),
         "batch_ms": batch_ms,
