@@ -609,3 +609,70 @@ def q_multimodal_selfmatch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").alias("doc_id"),
         (F.col("doc_id") == F.col("query_id")).alias("self_top1"),
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+), v2 AS (
+  SELECT doc_id, lang,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+  FROM documents WHERE doc_id % 10 <> 1
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       COALESCE(v1.lang, v2.lang) AS lang,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h <> v2.h
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: classify every document as added / removed /
+    content-changed between two corpus versions — the audit table a
+    100 TB pipeline materializes between crawl refreshes to decide what
+    to re-embed, re-dedup, and re-shard (composes with
+    incremental_reembed, which consumes exactly the 'added'+'changed'
+    set).  The two versions are derived deterministically from the one
+    fixture (v1 drops doc_id%10==0, v2 drops %10==1 and revises %7==0)
+    so the oracle replays them exactly; against real versioned
+    collections the same plan reads two snapshots via time travel
+    (versioning.py).
+
+    Scale shape: each side projects down to (doc_id, lang, content-hash)
+    BEFORE the full-outer join, so the single id-keyed shuffle moves
+    fixed-width rows, never document text; unchanged docs (the vast
+    majority between refreshes) are filtered pre-output without ever
+    being collected.  At 100 TB both sides bucket by doc_id at write
+    time, making the diff a zero-shuffle sort-merge."""
+    d = _t(spark, sf_dir, "documents")
+    v1 = d.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "lang", F.md5("text").alias("h")
+    )
+    v2 = d.where(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    return j.where(
+        F.col("a.doc_id").isNull()
+        | F.col("b.doc_id").isNull()
+        | (F.col("a.h") != F.col("b.h"))
+    ).select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("a.lang"), F.col("b.lang")).alias("lang"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+    )

@@ -1164,3 +1164,114 @@ def q_budget_water_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("capped"),
         )
     )
+
+
+@query(
+    "curation_attrition_funnel",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(0.4 * LEAST(length(text) / 500.0, 1.0)
+             + 0.4 * ROUND(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+                           / GREATEST(len(string_split(text, ' ')), 1), 6)
+             + 0.2 * (1 - ROUND(len(regexp_extract_all(text, '[0-9]'))
+                                / GREATEST(length(text), 1), 6)), 6) AS quality,
+         md5(text) AS h
+  FROM documents
+), b AS (
+  SELECT lang, quantile_cont(quality, 0.25) AS lo FROM q GROUP BY lang
+), f AS (
+  SELECT q.doc_id, q.lang, q.h,
+         (q.n_chars >= 150) AS p1,
+         (q.n_chars >= 150 AND q.quality >= b.lo) AS p2
+  FROM q JOIN b ON q.lang = b.lang
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY h ORDER BY CASE WHEN p2 THEN 0 ELSE 1 END, doc_id) AS rn
+  FROM f
+), flags AS (
+  SELECT p1, p2, (p2 AND rn = 1) AS p3,
+         (p2 AND rn = 1 AND lang <> 'zh') AS p4
+  FROM r
+), c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         CAST(SUM(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+  FROM flags
+)
+SELECT u.stage, u.surviving, u.dropped
+FROM c, LATERAL (VALUES
+  ('0_total',          s0, CAST(0 AS BIGINT)),
+  ('1_length_gate',    s1, s0 - s1),
+  ('2_quality_gate',   s2, s1 - s2),
+  ('3_exact_dedup',    s3, s2 - s3),
+  ('4_lang_allowlist', s4, s3 - s4)
+) AS u(stage, surviving, dropped)
+""",
+)
+def q_curation_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation attrition funnel: the observability table every large-scale
+    data pipeline keeps next to its filters — per gate, how many documents
+    survive and how many THIS gate dropped, with the gates applied
+    cumulatively in pipeline order (length -> per-lang quality band ->
+    exact dedup -> language allowlist).  The reference has no curation
+    observability at all (its pipeline is truncate+collapse,
+    Crawling.py:45-46); at 100 TB this table is how a curation change is
+    reviewed before it burns a training run.
+
+    Scale shape: ONE pass computes every per-doc flag (the per-lang
+    quality floor is a tiny broadcast-joined aggregate), the dedup flag
+    rides a single (content-hash) window shuffle — survivors of the
+    quality gate rank first within each hash group, so canonical election
+    needs no self-join — and the funnel itself is one global conditional
+    aggregation followed by a 5-row unpivot.  Document text never
+    shuffles: only ids, hashes, and booleans leave the scan stage."""
+    from pyspark.sql import Window
+
+    from crawling_vectordb_llm_spark.functions import text as X
+
+    d = _docs(spark, sf_dir)
+    q = d.select(
+        "doc_id", "lang", "n_chars",
+        X.quality_score("text").alias("quality"),
+        F.md5("text").alias("h"),
+        # both the per-lang floor aggregate and the flag pass read this
+        # projection; materialize it once so the regex-heavy quality scan
+        # over full text runs a single time (fixed-width rows only — text
+        # itself never persists)
+    ).localCheckpoint()
+    b = q.groupBy("lang").agg(F.expr("percentile(quality, 0.25)").alias("lo"))
+    f = (
+        q.join(F.broadcast(b), "lang")
+        .withColumn("p1", F.col("n_chars") >= 150)
+        .withColumn("p2", F.col("p1") & (F.col("quality") >= F.col("lo")))
+    )
+    w = Window.partitionBy("h").orderBy(
+        F.when(F.col("p2"), 0).otherwise(1), "doc_id"
+    )
+    r = f.withColumn("rn", F.row_number().over(w))
+    flags = r.select(
+        "p1", "p2",
+        (F.col("p2") & (F.col("rn") == 1)).alias("p3"),
+        (F.col("p2") & (F.col("rn") == 1) & (F.col("lang") != "zh")).alias("p4"),
+    )
+    c = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s0"),
+        *[
+            F.sum(F.when(F.col(p), 1).otherwise(0)).cast("bigint").alias(s)
+            for p, s in [("p1", "s1"), ("p2", "s2"), ("p3", "s3"), ("p4", "s4")]
+        ],
+    )
+    return c.select(
+        F.expr(
+            "stack(5,"
+            " '0_total',          s0, CAST(0 AS BIGINT),"
+            " '1_length_gate',    s1, s0 - s1,"
+            " '2_quality_gate',   s2, s1 - s2,"
+            " '3_exact_dedup',    s3, s2 - s3,"
+            " '4_lang_allowlist', s4, s3 - s4)"
+            " AS (stage, surviving, dropped)"
+        )
+    )
