@@ -1531,7 +1531,10 @@ def q_centroid_classifier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = vecs.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("aid"), F.col("v").alias("av")
     )
-    # true class: cosine-nearest anchor (argmax via max_by, tie -> lower aid)
+    # true class: cosine-nearest anchor (argmax via max_by, tie -> lower aid).
+    # Materialized once: both the centroid-training branch and the held-out
+    # branch read `lab`, and without the checkpoint the whole anchor-labeling
+    # broadcast-cross would execute twice (verified in the PLANS.md audit)
     lab = (
         vecs.crossJoin(F.broadcast(anchors))
         .groupBy("vec_id")
@@ -1545,7 +1548,7 @@ def q_centroid_classifier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cls"),
             F.first("v").alias("v"),
         )
-    )
+    ).localCheckpoint()
     cent_vals = (
         lab.where(F.col("vec_id") % 5 != 0)
         .select("cls", F.posexplode("v"))
