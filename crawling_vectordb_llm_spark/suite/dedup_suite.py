@@ -881,3 +881,152 @@ def q_duplicate_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_excised").cast("int").alias("n_excised"),
         "clean_text",
     )
+
+
+_SPLIT_CASE = """CASE WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END"""
+
+
+@query(
+    "leakage_safe_split",
+    oracle="WITH RECURSIVE " + BOUNDED_GRAPH_CTES
+    + """, sym AS (
+  SELECT a_id AS a, b_id AS b FROM bounded_edges
+  UNION SELECT b_id AS a, a_id AS b FROM bounded_edges
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+), labels AS (
+  SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+), assigned AS (
+  SELECT vec_id, cluster_id,
+         """ + _SPLIT_CASE.format(col="cluster_id") + """ AS split,
+         """ + _SPLIT_CASE.format(col="vec_id") + """ AS naive_split
+  FROM labels
+), leak AS (
+  SELECT cluster_id, (COUNT(DISTINCT naive_split) > 1) AS cluster_leaky
+  FROM assigned GROUP BY cluster_id
+)
+SELECT a.vec_id, a.cluster_id, a.split, a.naive_split, k.cluster_leaky
+FROM assigned a JOIN leak k ON a.cluster_id = k.cluster_id
+""",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster-aware train/val/test split — the leakage-proof
+    refinement of `hash_split_train_val`: near-duplicate documents MUST
+    land in the same split (a test doc whose near-copy sits in train is
+    contamination the benchmark can't see), so the routing hash is taken
+    over the near-dup CLUSTER id, not the doc id.  Each vector reports
+    its cluster, its cluster-routed split, the naive doc-id-routed split
+    it would have gotten, and whether its cluster straddles splits under
+    the naive rule (`cluster_leaky` — the rows that prove why
+    cluster-aware routing matters; ~every multi-doc cluster has ~10%
+    probability per extra member of leaking under naive hashing).
+
+    Scale shape: bounded k-NN edges (n·k) → large-star/small-star CC →
+    one groupBy(cluster) for the leak audit joined back on cluster_id —
+    all shuffles are id-keyed and linear in the corpus; the md5 routing
+    itself is a map-side expression exactly as in hash_split_train_val,
+    so the split stays deterministic across engines, reruns, and corpus
+    versions."""
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    pairs = _bounded_edges(emb).select("a_id", "b_id")
+    from crawling_vectordb_llm_spark.operators.components import (
+        connected_components,
+    )
+
+    labels = connected_components(pairs).withColumnRenamed("node", "vec_id")
+    assigned = (
+        emb.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("component", "vec_id").alias("cluster_id")
+        )
+    )
+
+    def _split(col: str) -> F.Column:
+        h2 = F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+        return (
+            F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+        )
+
+    assigned = assigned.select(
+        "vec_id",
+        "cluster_id",
+        _split("cluster_id").alias("split"),
+        _split("vec_id").alias("naive_split"),
+    )
+    leak = assigned.groupBy("cluster_id").agg(
+        (F.countDistinct("naive_split") > 1).alias("cluster_leaky")
+    )
+    return assigned.join(leak, "cluster_id").select(
+        "vec_id", "cluster_id", "split", "naive_split", "cluster_leaky"
+    )
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 16
+
+
+def _kcore_oracle() -> str:
+    """Unrolled-peel k-core oracle: exactly KCORE_ROUNDS degree-prune
+    stages over the bounded near-dup graph.  Every stage CTE is
+    MATERIALIZED — e{i} is referenced three times by stage i+1 (once
+    directly, twice through n{i+1}), so plain CTE inlining would blow up
+    3^rounds on the quadratic scored join (the bigram-oracle lesson,
+    text_suite.py)."""
+    parts = [
+        "WITH ",
+        BOUNDED_GRAPH_CTES,
+        """, sym AS MATERIALIZED (
+  SELECT a_id AS a, b_id AS b FROM bounded_edges
+  UNION SELECT b_id AS a, a_id AS b FROM bounded_edges
+), e0 AS MATERIALIZED (SELECT a, b FROM sym)""",
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""", n{i} AS MATERIALIZED (
+  SELECT a AS id FROM e{i - 1} GROUP BY a HAVING COUNT(*) >= {KCORE_K}
+), e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN n{i} x ON e.a = x.id JOIN n{i} y ON e.b = y.id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a AS vec_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{KCORE_ROUNDS} GROUP BY a
+"""
+    )
+    return "".join(parts)
+
+
+@query("kcore_spam_filter", oracle=_kcore_oracle())
+def q_kcore_spam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core detection on the bounded near-dup graph: the k-core
+    (k=2, 16-round peel budget) isolates cyclically-dense document
+    groups where every member has >= 2 near-duplicate neighbors INSIDE
+    the group (triangles and denser — isolated pairs and chains peel
+    away; the fixture's planted dup clusters yield no 3-core, so k=2 is
+    the smallest k that separates structure here, and k is a knob) — the standard graph-density spam signal that raw degree
+    can't fake (a single hub page inflates degree; it cannot inflate its
+    neighbors' mutual density).  Organic near-dup pairs and chains peel
+    away; only genuinely dense duplication cores survive, each surviving
+    vector reported with its in-core degree.
+
+    The peel-round budget is part of the operator's semantics (pinned at
+    8 so an unrolled SQL oracle replays it exactly); fixture graphs
+    reach their fixpoint inside the budget (measured 10/9/3/1 rounds at
+    sf0.001/sf0.01/sf0.1/fresh-sf1 — chain peeling removes two chain
+    ends per round, so depth shrinks as planted clusters densify;
+    asserted in tests/test_r8_ops.py), and at 100 TB the budget is a knob — each
+    round costs one O(E) degree aggregation plus two node-set
+    semi-joins, nothing scales with round count but wall time."""
+    from crawling_vectordb_llm_spark.operators.components import kcore_nodes
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    pairs = _bounded_edges(emb).select("a_id", "b_id")
+    out = kcore_nodes(pairs, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return out.select(F.col("node").alias("vec_id"), "core_degree")

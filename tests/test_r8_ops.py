@@ -68,3 +68,64 @@ def test_centroid_classifier_beats_chance(spark):
     # scores are valid cosines
     bad = out.where((F.col("score") > 1.000001) | (F.col("score") < -1.000001))
     assert bad.count() == 0
+
+
+def test_kcore_planted_clique_survives_chain_peels(spark):
+    from crawling_vectordb_llm_spark.operators.components import kcore_nodes
+
+    # K4 clique on 0-3, chain 10-11-12-13-14, isolated pair 20-21
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(10, 11), (11, 12), (12, 13), (13, 14)]
+    pair = [(20, 21)]
+    pairs = spark.createDataFrame(clique + chain + pair, "a_id long, b_id long")
+    core2 = {
+        r["node"]: r["core_degree"]
+        for r in kcore_nodes(pairs, k=2, rounds=8).collect()
+    }
+    # chain and pair peel away completely; the clique survives with deg 3
+    assert set(core2) == {0, 1, 2, 3}
+    assert all(d == 3 for d in core2.values())
+    core3 = kcore_nodes(pairs, k=3, rounds=8).collect()
+    assert {r["node"] for r in core3} == {0, 1, 2, 3}
+    core4 = kcore_nodes(pairs, k=4, rounds=8).collect()
+    assert core4 == []
+
+
+def test_kcore_fixture_converges_inside_round_budget(spark):
+    """The pinned 8-round budget must reach the true fixpoint on fixture
+    graphs — otherwise the operator's output is a budget artifact."""
+    from crawling_vectordb_llm_spark.operators.components import kcore_nodes
+    from crawling_vectordb_llm_spark.suite.dedup_suite import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        _bounded_edges,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    pairs = _bounded_edges(emb).select("a_id", "b_id")
+    at_budget = {
+        (r["node"], r["core_degree"])
+        for r in kcore_nodes(pairs, KCORE_K, rounds=KCORE_ROUNDS).collect()
+    }
+    past_budget = {
+        (r["node"], r["core_degree"])
+        for r in kcore_nodes(pairs, KCORE_K, rounds=KCORE_ROUNDS + 4).collect()
+    }
+    assert at_budget == past_budget
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    rows = QUERIES["leakage_safe_split"](spark, SF_SMALL).collect()
+    by_cluster: dict[int, set[str]] = {}
+    naive_by_cluster: dict[int, set[str]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        naive_by_cluster.setdefault(r["cluster_id"], set()).add(r["naive_split"])
+    # the whole point: cluster-routed split is constant within a cluster
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # the audit flag matches the naive-split spread
+    for r in rows:
+        assert r["cluster_leaky"] == (len(naive_by_cluster[r["cluster_id"]]) > 1)
+    # every vector is assigned
+    n_vecs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
