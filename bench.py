@@ -89,6 +89,14 @@ HEADLINE = [
     "duplicate_span_excise",
     "tpch_q11_shape",
     "tpch_q20_shape",
+    # round 8: curation observability + graph-safety ops
+    "curation_attrition_funnel",
+    "snapshot_diff",
+    "centroid_classifier_assign",
+    "leakage_safe_split",
+    "kcore_spam_filter",
+    "seeded_shuffle_rank",
+    "perplexity_tercile_mix",
 ]
 
 

@@ -186,3 +186,54 @@ def adaptive_cluster_count(
     n // 2000 ≤ 1) on their historical cell geometry, so oracle
     artifacts are unchanged below 18k vectors."""
     return max(floor, n_corpus // target_cell)
+
+
+def global_rank(
+    df: DataFrame,
+    asc_key: list[Column],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Dense global 1..n rank over an arbitrary total order for the WHOLE
+    table, with NO single-partition window and NO second full shuffle —
+    the scale-correct form of `row_number() OVER (ORDER BY ...)` when the
+    output is the full corpus (a training-shuffle permutation, a global
+    sort position) rather than a top-k.
+
+    How: `repartitionByRange` totally orders the partitions on the key
+    and `sortWithinPartitions` orders rows inside each; after that,
+    `monotonically_increasing_id()` is (partition_id << 33) + a
+    CONTIGUOUS 0-based row offset in exactly the sorted order, so the
+    global rank is recoverable arithmetically: one tiny per-partition
+    aggregate (count + min id per partition — partial-aggregated, a
+    #partitions-row table) gets cumulative offsets via a window over
+    those few rows, broadcasts back, and
+    rank = partition_offset + (id - partition_min_id) + 1.
+
+    Cost at 100 TB: ONE range shuffle (which any global order needs) +
+    one partial aggregate + a broadcast join — vs the naive global
+    window, which funnels every row through a single task.  `asc_key`
+    must be a total order (tie-break with a unique column) for the rank
+    to be deterministic.
+    """
+    part = (
+        df.repartitionByRange(*asc_key)
+        .sortWithinPartitions(*asc_key)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+    stats = part.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__m0")
+    )
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        "__pid",
+        "__m0",
+        F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off"),
+    )
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            rank_col, (F.col("__off") + (F.col("__mid") - F.col("__m0")) + 1)
+        )
+        .drop("__pid", "__mid", "__m0", "__off")
+    )

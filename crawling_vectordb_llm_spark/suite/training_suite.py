@@ -1275,3 +1275,142 @@ def q_curation_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (stage, surviving, dropped)"
         )
     )
+
+
+@query(
+    "seeded_shuffle_rank",
+    oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('shuffle-seed-42:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS shuffle_rank
+FROM documents
+""",
+)
+def q_seeded_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global training shuffle: every document gets
+    a dense 1..n position in a pseudorandom permutation keyed by
+    md5(seed || doc_id) — the pre-training shuffle that must be (a)
+    reproducible from the seed alone (resume a run, audit a batch), and
+    (b) computed WITHOUT `row_number() OVER (ORDER BY ...)`'s
+    single-partition window, which is the canonical 100 TB anti-plan.
+    operators/topk.global_rank does it with one range shuffle + a
+    #partitions-row offset table: the same permutation the naive window
+    produces (the oracle IS that window, at fixture scale), at full
+    cluster parallelism.
+
+    Downstream, `shuffle_rank` drives batch assembly: batch i = ranks
+    [i*B, (i+1)*B) — consistent across engines, reruns, and cluster
+    sizes because the order is a pure function of (seed, doc_id)."""
+    from crawling_vectordb_llm_spark.operators.topk import global_rank
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    key = F.md5(F.concat(F.lit("shuffle-seed-42:"), F.col("doc_id").cast("string")))
+    return global_rank(
+        d.withColumn("__key", key), [F.col("__key"), F.col("doc_id")],
+        rank_col="shuffle_rank",
+    ).select("doc_id", F.col("shuffle_rank").cast("bigint").alias("shuffle_rank"))
+
+
+_T1 = repr(1.0 / 3.0)
+_T2 = repr(2.0 / 3.0)
+
+
+@query(
+    "perplexity_tercile_mix",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), freq AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+), total AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq
+), scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(ln(f.c / total.n), 6) AS DECIMAL(22,6)) AS lp
+  FROM toks t JOIN freq f ON t.term = f.term CROSS JOIN total
+), m AS (
+  SELECT s.doc_id, d.lang,
+         CAST(SUM(s.lp) AS DOUBLE) / COUNT(*) AS mean_lp
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+  GROUP BY s.doc_id, d.lang
+), b AS (
+  SELECT lang, quantile_cont(mean_lp, {{t1}}) AS t1,
+               quantile_cont(mean_lp, {{t2}}) AS t2
+  FROM m GROUP BY lang
+), bucketed AS (
+  SELECT m.lang,
+         CASE WHEN m.mean_lp > b.t2 THEN 'head'
+              WHEN m.mean_lp > b.t1 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM m JOIN b ON m.lang = b.lang
+), counts AS (
+  SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM bucketed GROUP BY lang, bucket
+)
+SELECT lang, bucket, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY lang), 6) AS lang_share
+FROM counts
+""".format(t1=_T1, t2=_T2),
+)
+def q_perplexity_tercile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per language, documents split
+    into head/middle/tail terciles of their mean unigram log-probability
+    (head = most predictable text; CCNet trains preferentially on head +
+    middle and downsamples tail).  The output is the mixing table — per
+    (lang, bucket) doc counts and within-language shares — that a data
+    loader consumes as sampling weights.
+
+    Determinism: per-token logprobs round at 6 dp and sum as decimals
+    (the unigram_logprob_score convention), the mean divides the EXACT
+    decimal sum once in double (identical in both engines at these
+    magnitudes), and the tercile thresholds are compared but never
+    output (interpolated quantiles are ulp-unstable cross-engine; counts
+    are not).  Scale shape: one token aggregation (vocab is Zipf-small
+    and broadcasts back), one per-doc aggregation, a tiny per-lang
+    quantile broadcast, and a #langs×3-row final table — the window in
+    the last step runs over that tiny aggregate, not the corpus."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = float(freq.agg(F.sum("c")).first()[0])
+    scored = toks.join(F.broadcast(freq), "term").select(
+        "doc_id",
+        F.round(F.log(F.col("c") / F.lit(total)), 6)
+        .cast("decimal(22,6)")
+        .alias("lp"),
+    )
+    m = (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("mean_lp")
+        )
+    )
+    b = m.groupBy("lang").agg(
+        F.expr(f"percentile(mean_lp, {_T1})").alias("t1"),
+        F.expr(f"percentile(mean_lp, {_T2})").alias("t2"),
+    )
+    bucketed = m.join(F.broadcast(b), "lang").select(
+        "lang",
+        F.when(F.col("mean_lp") > F.col("t2"), "head")
+        .when(F.col("mean_lp") > F.col("t1"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    counts = bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    return counts.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy("lang")),
+            6,
+        ).alias("lang_share"),
+    )

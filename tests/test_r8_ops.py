@@ -129,3 +129,59 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
     # every vector is assigned
     n_vecs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
     assert len(rows) == n_vecs
+
+
+def test_seeded_shuffle_rank_is_a_permutation(spark):
+    rows = QUERIES["seeded_shuffle_rank"](spark, SF_SMALL).collect()
+    n = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    ranks = sorted(r["shuffle_rank"] for r in rows)
+    assert ranks == list(range(1, n + 1))  # dense permutation, no window
+    # seeded => stable across executions
+    again = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in QUERIES["seeded_shuffle_rank"](spark, SF_SMALL).collect()
+    }
+    assert all(again[r["doc_id"]] == r["shuffle_rank"] for r in rows)
+    # and genuinely shuffled: not the identity order
+    by_doc = sorted(rows, key=lambda r: r["doc_id"])
+    assert [r["shuffle_rank"] for r in by_doc] != sorted(
+        r["shuffle_rank"] for r in by_doc
+    )
+
+
+def test_global_rank_matches_window_row_number(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from crawling_vectordb_llm_spark.operators.topk import global_rank
+
+    df = spark.range(0, 999).select(
+        SF.col("id"), SF.md5(SF.col("id").cast("string")).alias("k")
+    ).repartition(7)
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(df, [SF.col("k"), SF.col("id")]).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", SF.row_number().over(Window.orderBy("k", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_perplexity_terciles_balanced_and_complete(spark):
+    rows = QUERIES["perplexity_tercile_mix"](spark, SF_SMALL).collect()
+    langs = {r["lang"] for r in rows}
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    assert langs == {r["lang"] for r in docs.select("lang").distinct().collect()}
+    for lang in langs:
+        sub = {r["bucket"]: r for r in rows if r["lang"] == lang}
+        assert set(sub) == {"head", "middle", "tail"}
+        n = sum(r["n_docs"] for r in sub.values())
+        # terciles: each bucket holds roughly a third (quantile boundaries
+        # can shift a few docs)
+        for r in sub.values():
+            assert 0.15 <= r["n_docs"] / n <= 0.52, (lang, dict(sub))
+        assert abs(sum(r["lang_share"] for r in sub.values()) - 1.0) < 1e-4

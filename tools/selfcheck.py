@@ -84,6 +84,12 @@ TIERED: dict[str, dict[str, str]] = {
     "dedup_clusters_allpairs": {"embeddings": "vec_id % 10 = 0"},
     "near_dup_pipeline_clusters_allpairs": {"embeddings": "vec_id % 10 = 0"},
     "similarity_pagerank_allpairs": {"embeddings": "vec_id % 10 = 0"},
+    # r8: the two new graph consumers rank over the same quadratic scored
+    # CTE (leakage_safe_split adds the recursive reach fixpoint, kcore the
+    # 16 unrolled peel stages — both cheap; the all-pairs cosine join is
+    # the cost), so they tier exactly like dedup_clusters.
+    "leakage_safe_split": {"embeddings": "vec_id % 10 = 0"},
+    "kcore_spam_filter": {"embeddings": "vec_id % 10 = 0"},
     "recursive_cte_reachability": {
         "embeddings": "vec_id % 10 = 0 OR vec_id < 5"
     },
