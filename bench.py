@@ -97,6 +97,7 @@ HEADLINE = [
     "kcore_spam_filter",
     "seeded_shuffle_rank",
     "perplexity_tercile_mix",
+    "corpus_drift_psi",
 ]
 
 

@@ -676,3 +676,111 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("status"),
     )
+
+
+@query(
+    "corpus_drift_psi",
+    oracle="""
+WITH v1 AS (
+  SELECT lang, CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket
+  FROM documents WHERE doc_id % 10 <> 0
+), v2 AS (
+  SELECT lang,
+         CAST(floor(length(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                                ELSE text END) / 100) AS BIGINT) AS len_bucket
+  FROM documents WHERE doc_id % 10 <> 1
+), b1 AS (
+  SELECT feature, bucket, COUNT(*) AS n1 FROM (
+    SELECT 'lang' AS feature, lang AS bucket FROM v1
+    UNION ALL
+    SELECT 'len_bucket', CAST(len_bucket AS VARCHAR) FROM v1
+  ) GROUP BY feature, bucket
+), b2 AS (
+  SELECT feature, bucket, COUNT(*) AS n2 FROM (
+    SELECT 'lang' AS feature, lang AS bucket FROM v2
+    UNION ALL
+    SELECT 'len_bucket', CAST(len_bucket AS VARCHAR) FROM v2
+  ) GROUP BY feature, bucket
+), t1 AS (SELECT feature, CAST(SUM(n1) AS DOUBLE) AS tot1 FROM b1 GROUP BY feature),
+t2 AS (SELECT feature, CAST(SUM(n2) AS DOUBLE) AS tot2 FROM b2 GROUP BY feature),
+j AS (
+  SELECT COALESCE(b1.feature, b2.feature) AS feature,
+         COALESCE(b1.bucket, b2.bucket) AS bucket,
+         COALESCE(b1.n1, 0) AS n1, COALESCE(b2.n2, 0) AS n2
+  FROM b1 FULL OUTER JOIN b2
+    ON b1.feature = b2.feature AND b1.bucket = b2.bucket
+), p AS (
+  SELECT j.feature, j.bucket, j.n1, j.n2,
+         GREATEST(j.n1 / t1.tot1, 1e-6) AS p1,
+         GREATEST(j.n2 / t2.tot2, 1e-6) AS p2
+  FROM j JOIN t1 ON j.feature = t1.feature JOIN t2 ON j.feature = t2.feature
+)
+SELECT feature, bucket, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(p1, 6) AS p1, ROUND(p2, 6) AS p2,
+       ROUND((p2 - p1) * ROUND(ln(p2 / p1), 4), 6) AS psi_term
+FROM p
+""",
+)
+def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift report between two snapshot versions: the population
+    stability index terms of the language mix and the document-length
+    histogram — the statistical companion to `snapshot_diff` (that one
+    says WHICH docs changed; this one says whether the corpus SHAPE
+    moved, which is what retrain/remix decisions key on; PSI > 0.2 per
+    feature is the classic act threshold).  Versions are derived exactly
+    as in snapshot_diff (v1 drops id%10==0, v2 drops %10==1 and revises
+    %7==0 — the revision genuinely shifts length buckets).
+
+    Determinism: proportions are exact-integer ratios in double
+    (identical cross-engine), empty buckets clip at 1e-6 (standard PSI
+    smoothing AND the log-domain guard), and each ln() quantizes at 4 dp
+    BEFORE entering the 6-dp term (SCALE.md libm rule — JVM and libc
+    logs differ in the last bit).  The per-bucket terms are the output;
+    the per-feature PSI is their sum, one aggregation away.
+
+    Scale shape: two projection scans → per-(feature, bucket) counts
+    (partial-aggregable; bucket cardinality is tiny by construction) →
+    everything downstream operates on the few-dozen-row bucket table."""
+    d = _t(spark, sf_dir, "documents")
+    v1 = d.where(F.col("doc_id") % 10 != 0).select("lang", F.col("text"))
+    v2 = d.where(F.col("doc_id") % 10 != 1).select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+    def buckets(v: DataFrame, n_col: str) -> DataFrame:
+        lb = F.floor(F.length("text") / 100).cast("bigint").cast("string")
+        both = v.select(F.lit("lang").alias("feature"), F.col("lang").alias("bucket")).unionByName(
+            v.select(F.lit("len_bucket").alias("feature"), lb.alias("bucket"))
+        )
+        return both.groupBy("feature", "bucket").agg(
+            F.count(F.lit(1)).alias(n_col)
+        )
+
+    b1, b2 = buckets(v1, "n1"), buckets(v2, "n2")
+    j = (
+        b1.join(b2, ["feature", "bucket"], "full_outer")
+        .na.fill({"n1": 0, "n2": 0})
+    )
+    t = j.groupBy("feature").agg(
+        F.sum("n1").cast("double").alias("tot1"),
+        F.sum("n2").cast("double").alias("tot2"),
+    )
+    p = j.join(F.broadcast(t), "feature").select(
+        "feature", "bucket",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.greatest(F.col("n1") / F.col("tot1"), F.lit(1e-6)).alias("p1"),
+        F.greatest(F.col("n2") / F.col("tot2"), F.lit(1e-6)).alias("p2"),
+    )
+    return p.select(
+        "feature", "bucket", "n1", "n2",
+        F.round("p1", 6).alias("p1"),
+        F.round("p2", 6).alias("p2"),
+        F.round(
+            (F.col("p2") - F.col("p1")) * F.round(F.log(F.col("p2") / F.col("p1")), 4),
+            6,
+        ).alias("psi_term"),
+    )

@@ -185,3 +185,25 @@ def test_perplexity_terciles_balanced_and_complete(spark):
         for r in sub.values():
             assert 0.15 <= r["n_docs"] / n <= 0.52, (lang, dict(sub))
         assert abs(sum(r["lang_share"] for r in sub.values()) - 1.0) < 1e-4
+
+
+def test_corpus_drift_psi_detects_planted_shift(spark):
+    rows = QUERIES["corpus_drift_psi"](spark, SF_SMALL).collect()
+    feats = {r["feature"] for r in rows}
+    assert feats == {"lang", "len_bucket"}
+    for r in rows:
+        # proportions are valid and terms finite
+        assert 0 < r["p1"] <= 1 and 0 < r["p2"] <= 1
+        assert r["psi_term"] is not None
+        # PSI terms are non-negative by construction ((p2-p1) and
+        # ln(p2/p1) always share a sign)
+        assert r["psi_term"] >= 0
+    # the planted ' [rev2]' revision + one-in-ten drops are a SMALL drift:
+    # per-feature PSI must be positive but nowhere near the 0.2 alarm
+    for f in feats:
+        psi = sum(r["psi_term"] for r in rows if r["feature"] == f)
+        assert 0 <= psi < 0.2, (f, psi)
+    # ...and at least one length bucket actually moved
+    assert any(
+        r["n1"] != r["n2"] for r in rows if r["feature"] == "len_bucket"
+    )
