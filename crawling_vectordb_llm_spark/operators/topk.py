@@ -220,6 +220,13 @@ def global_rank(
         .sortWithinPartitions(*asc_key)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__mid", F.monotonically_increasing_id())
+        # Pin the non-deterministic ids ONCE: `part` feeds both the stats
+        # branch and the join branch below, and the rank arithmetic needs
+        # BOTH branches to observe identical range boundaries and
+        # in-partition order.  Without the checkpoint that only holds
+        # because ReuseExchange happens to dedupe the identical range
+        # exchange — a planner change would silently corrupt ranks.
+        .localCheckpoint()
     )
     stats = part.groupBy("__pid").agg(
         F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__m0")

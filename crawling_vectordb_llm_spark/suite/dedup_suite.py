@@ -1017,7 +1017,7 @@ def q_kcore_spam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector reported with its in-core degree.
 
     The peel-round budget is part of the operator's semantics (pinned at
-    8 so an unrolled SQL oracle replays it exactly); fixture graphs
+    16, `KCORE_ROUNDS`, so an unrolled SQL oracle replays it exactly); fixture graphs
     reach their fixpoint inside the budget (measured 10/9/3/1 rounds at
     sf0.001/sf0.01/sf0.1/fresh-sf1 — chain peeling removes two chain
     ends per round, so depth shrinks as planted clusters densify;

@@ -1374,12 +1374,21 @@ def q_perplexity_tercile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    total = float(freq.agg(F.sum("c")).first()[0])
-    scored = toks.join(F.broadcast(freq), "term").select(
-        "doc_id",
-        F.round(F.log(F.col("c") / F.lit(total)), 6)
-        .cast("decimal(22,6)")
-        .alias("lp"),
+    # 1-row corpus total stays IN the plan (broadcast cross-join) instead
+    # of an eager driver .first() — no extra token-aggregation job per
+    # invocation, and an empty corpus yields an empty result instead of
+    # TypeError(float(None)).  long/long `/` is double division in Spark,
+    # bit-identical to the former Python-float literal at count scale.
+    tot = freq.agg(F.sum("c").alias("__tot"))
+    scored = (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c") / F.col("__tot")), 6)
+            .cast("decimal(22,6)")
+            .alias("lp"),
+        )
     )
     m = (
         scored.join(d.select("doc_id", "lang"), "doc_id")

@@ -1,7 +1,8 @@
 """Pre-snapshot artifact-citation gate (VERDICT r7 'dangling evidence').
 
-Scans the evidence-bearing docs (SCALE.md, README.md, COVERAGE.md,
-BASELINE.md) for citations of per-round artifact files (`*_r{N}.json`)
+Scans the evidence-bearing docs (the `DOCS` list below: SCALE.md,
+README.md, COVERAGE.md, BASELINE.md, PLANS.md) for citations of
+per-round artifact files (`*_r{N}.json`)
 and verifies each cited file exists in the repo root.  A doc citing a
 measurement that was never checked in is the judge's canonical ding —
 round 7 shipped one (a promised bench section that didn't exist) and
