@@ -313,6 +313,22 @@ def threshold_similarity_join(
     )
 
 
+# Corpus-size threshold for the hybrid bounded-join dispatch: at or below
+# this many vectors the exact triangular-grid GEMM is cheaper than paying
+# IVF's k-means + cell-replication overhead; above it the Θ(n²·d) GEMM
+# flops take over (brute marginal exponent 1.75, AB_EXPONENT_POST_r08 —
+# vs ~1.0 IVF-composed).  Measured bracket at d=64 (AB_HYBRID_r09.json,
+# interleaved 5-rep medians): brute 2.7×/2.7×/1.8× faster at n=2k/8k/20k,
+# IVF 1.3× faster at n=60k — raw crossover ≈30–40k.  The threshold sits
+# CONSERVATIVELY below that: in the 16k–40k window the IVF path gives up
+# at most ~1.8× on corpora that finish in seconds either way, and in
+# exchange the dispatch is never quadratic anywhere near the crossover's
+# geometry-dependence (the crossover shrinks as clustering strengthens
+# or admit-rate falls; d itself roughly cancels — both paths' flops and
+# overheads are ∝ d, re-measured at d=1024 in AB_DIM_r09.json).
+BRUTE_TOPK_MAX_ROWS = 16_384
+
+
 def topk_similarity_self_join(
     df: DataFrame,
     k: int,
@@ -325,6 +341,9 @@ def topk_similarity_self_join(
     score_col: str = "score",
     item_col: str = "item_id",
     neighbor_col: str = "neighbor_id",
+    strategy: str = "auto",
+    brute_max_rows: int = BRUTE_TOPK_MAX_ROWS,
+    n_cells: int = 16,
 ) -> DataFrame:
     """BOUNDED-OUTPUT similarity self-join (VERDICT r6 #1): for every item,
     its top-k cosine neighbors with score >= tau — the scale-safe emission
@@ -362,10 +381,48 @@ def topk_similarity_self_join(
     Output: (item_id, neighbor_id, rank, score) — DIRECTED.  Graph/dedup
     consumers symmetrize with `topk_edges` (union of directions, each
     unordered pair once).
+
+    HYBRID DISPATCH (VERDICT r8 #3): `strategy="auto"` (the default, and
+    what the `similarity_topk_join` registry entry and every graph/dedup
+    consumer use) counts the corpus once and routes
+
+      n <= brute_max_rows  ->  the exact triangular block-GEMM below
+      n  > brute_max_rows  ->  `ivf_pruned_topk_join` (angular
+                               triangle-inequality cell prune, recall
+                               1.0 — outputs verified bit-identical,
+                               tests/test_topk_join.py)
+
+    so a 100 TB caller reaching for the primitive BY NAME gets the
+    linear-exponent form automatically (the brute form's quadratic GEMM
+    flops measured e≈1.75, AB_EXPONENT_POST_r08), while small corpora —
+    including every per-cell subproblem the IVF form itself creates —
+    keep the cheaper exact kernel.  `strategy="brute"`/`"ivf"` force a
+    side (the A/B harness and the bit-identity tests use this).
     """
     spark = df.sparkSession
+    if strategy not in ("auto", "brute", "ivf"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    n = df.count() if (strategy == "auto" or n_blocks is None) else None
+    if strategy == "auto":
+        strategy = "brute" if n <= brute_max_rows else "ivf"
+    if strategy == "ivf":
+        from crawling_vectordb_llm_spark.operators.ivf import (
+            ivf_pruned_topk_join,
+        )
+
+        return ivf_pruned_topk_join(
+            df,
+            tau=tau,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_cells=n_cells,
+            gemm_chunk_rows=gemm_chunk_rows,
+            score_col=score_col,
+            item_col=item_col,
+            neighbor_col=neighbor_col,
+        )
     if n_blocks is None:
-        n = df.count()
         n_blocks = _pick_blocks(
             n, block_target_rows, spark.sparkContext.defaultParallelism
         )

@@ -111,6 +111,36 @@ def test_output_bounded_at_nk(spark):
     assert out.count() == 200 * 2
 
 
+def test_hybrid_dispatch_bit_identical(spark):
+    # The r9 hybrid contract: forced-brute, forced-ivf, and both auto
+    # routes (below and above the crossover, steered via brute_max_rows)
+    # must produce the SAME rows — recall 1.0 through the IVF prune and
+    # the shared 6-dp/id-asc total order make the dispatch invisible to
+    # callers and to the one shared oracle.
+    df, mat = _fixture(spark, n=180, seed=17)
+    exp = _expected(mat, k=3, tau=0.2)
+
+    def rows(out):
+        return {
+            (r["item_id"], r["neighbor_id"], r["rank"], r["score"])
+            for r in out.collect()
+        }
+
+    brute = rows(topk_similarity_self_join(df, k=3, tau=0.2, strategy="brute"))
+    ivf = rows(topk_similarity_self_join(df, k=3, tau=0.2, strategy="ivf"))
+    auto_small = rows(topk_similarity_self_join(df, k=3, tau=0.2))
+    auto_big = rows(
+        topk_similarity_self_join(df, k=3, tau=0.2, brute_max_rows=50)
+    )
+    assert brute == ivf == auto_small == auto_big == exp
+
+
+def test_hybrid_dispatch_rejects_unknown_strategy(spark):
+    df, _ = _fixture(spark, n=20)
+    with pytest.raises(ValueError, match="strategy"):
+        topk_similarity_self_join(df, k=2, tau=0.5, strategy="exact")
+
+
 def test_empty_and_single_row(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert (
