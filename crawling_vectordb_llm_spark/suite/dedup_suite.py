@@ -148,7 +148,8 @@ def _bounded_edges(emb: DataFrame) -> DataFrame:
     1.4–1.5× (VERDICT r8 'what's wrong') while keeping the measured
     ~1.0–1.1 marginal exponents above the crossover: sf1/sf3 fixtures
     (20k/60k vectors) stay on the IVF path, driver fixtures (<=2k) on
-    the brute path (crossover measured in AB_HYBRID_r09.json)."""
+    the brute path (crossover re-measured at ≈25-40k in
+    AB_HYBRID_r10.json after r9's slice-labeling bug, VERDICT r9)."""
     from crawling_vectordb_llm_spark.operators.knn import (
         topk_edges,
         topk_similarity_self_join,

@@ -379,7 +379,74 @@ def q_python_datasource_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e2e_crawl_to_answer")
+def _e2e_oracle() -> str:
+    """Full-value DuckDB replay of the e2e pipeline (VERDICT r8 #5 /
+    r9 #6 — the last pipeline rows-only entry graduates): the oracle
+    regenerates the synthetic-crawl corpus from range() (the same move
+    python_datasource_crawl's oracle makes — the source is a pure
+    function of its options), replays clean_text, the md5 hash-embedder
+    (vector_suite._md5_embed_fragment), top-3 cosine ranking on the
+    knn_join_sql contract order (score DESC, id ASC), rank-ordered
+    context/citation concat, the prompt template + 20000-char truncate,
+    and the deterministic extractive generator (plans/generate.py
+    fake_generate_batch: first 12 whitespace-split words of the prompt +
+    the min(len, 8000) length stamp) with the citation block appended."""
+    from crawling_vectordb_llm_spark.suite.vector_suite import (
+        _md5_embed_fragment,
+    )
+
+    frag = _md5_embed_fragment(
+        "SELECT id, text AS txt FROM cleaned", "emb", 64
+    )
+    return f"""
+WITH pages AS (
+  SELECT 'https://site.example/page/' || CAST(i AS VARCHAR) AS id,
+         'Page ' || CAST(i AS VARCHAR) AS title,
+         array_to_string(list_transform(range(0, 20),
+                         j -> 'w' || CAST((i * 7 + j) % 13 AS VARCHAR)),
+                         ' ') AS text
+  FROM range(0, 200) t(i)
+), cleaned AS (
+  SELECT id, title,
+         regexp_replace(substr(text, 1, 6000), '\\s+', ' ', 'g') AS text
+  FROM pages
+), {frag}, corpus AS (
+  SELECT c.id, c.title, c.text, e.e FROM cleaned c JOIN emb e ON e.id = c.id
+), q AS (
+  SELECT id AS query_id, e FROM emb WHERE regexp_matches(id, '/page/[0-2]$')
+), scored AS (
+  SELECT q.query_id, c.id, c.title, c.text,
+         list_cosine_similarity(q.e, c.e) AS score
+  FROM q CROSS JOIN corpus c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, id ASC) AS rank
+  FROM scored
+), per_query AS (
+  SELECT query_id,
+         string_agg(substr(text, 1, 6000), chr(10) ORDER BY rank) AS context,
+         string_agg(title || '     ' || id, chr(10) || chr(10)
+                    ORDER BY rank) AS citations
+  FROM ranked WHERE rank <= 3 GROUP BY query_id
+), prompts AS (
+  SELECT query_id, citations,
+         substr('请按照"' || query_id || '"进行总结,内容是：' || context,
+                1, 20000) AS prompt
+  FROM per_query
+), gen AS (
+  SELECT query_id, citations, prompt,
+         string_split_regex(prompt, '\\s+') AS w
+  FROM prompts
+)
+SELECT query_id,
+       'summary(' || array_to_string(w[1:12], ' ') || ') [' ||
+       CAST(LEAST(length(prompt), 8000) AS VARCHAR) || ' chars in]' ||
+       chr(10) || chr(10) || citations AS response
+FROM gen
+"""
+
+
+@query("e2e_crawl_to_answer", oracle=_e2e_oracle())
 def q_e2e_crawl_to_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE reference, one lazy plan: crawl source (S1 via the
     Python Data Source) → clean (P4-P6) → batch embed (S5's server-side
@@ -391,12 +458,10 @@ def q_e2e_crawl_to_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast branch of the SAME lazy plan, not an eager driver collect
     — VERDICT r3), so Catalyst prunes columns through the UDF boundaries
     and the crawl partitions stream straight into embedding without a
-    materialization.  Rows-only gate — the input is the synthetic-crawl
-    Python Data Source, which the oracle's parquet views cannot see (the
-    hash-embed stage itself IS SQL-expressible now: embed_knn_self /
-    late_interaction_search replay it in their oracles); determinism
-    pinned by the crawl source + hash encoder + fake generator all being
-    pure functions."""
+    materialization.  Value-oracled since r10 (_e2e_oracle above): every
+    stage — crawl corpus, clean, md5 embed, ranking, prompt, fake
+    generation, citations — is a pure function, so DuckDB reproduces the
+    final (query_id, response) strings byte-for-byte."""
     from crawling_vectordb_llm_spark.embedding import make_embed_udf
     from crawling_vectordb_llm_spark.functions.text import clean_text
     from crawling_vectordb_llm_spark.operators.knn import knn_join_sql

@@ -596,6 +596,86 @@ def compression_ratio_kernel():
     return _ratio
 
 
+def _compression_gate_kernel():
+    """Soundness gates for the zlib kernel, computed where the BYTES are
+    known exactly (the pytest bounds live in tests; this kernel puts the
+    same invariants under the per-round DuckDB oracle):
+
+    - bounds_ok: zlib's framing floor (2-byte header + 4-byte adler +
+      minimal deflate ≥ 8 total) and its stored-block worst-case ceiling
+      (raw + 5 bytes per stored block + trailer, padded generously) —
+      violated only if the compression call itself is broken.
+    - double_ok: doubling the text adds one back-reference, not a second
+      copy — comp(t||t) ≤ comp(t) + 64 whenever the whole first copy fits
+      in deflate's 32 KiB window (larger texts are exempt: the match
+      distance exceeds the window and the property genuinely fails).
+    - ratio_e6 is recomputed with the production kernel's exact float
+      path (comp / chars * 1e6, int64 truncation) so the caller can pin
+      kernel-vs-kernel consistency in-plan."""
+    import zlib
+
+    import pandas as pd
+
+    def _gates(batches):
+        for pdf in batches:
+            texts = pdf["text"].fillna("")
+            out = {"doc_id": pdf["doc_id"], "n_chars": [], "ratio_e6": [],
+                   "bounds_ok": [], "double_ok": []}
+            for t in texts:
+                b = t.encode("utf-8")
+                raw_b = len(b)
+                comp = len(zlib.compress(b, 6))
+                comp2 = len(zlib.compress(b + b, 6))
+                n_chars = max(len(t), 1)
+                out["n_chars"].append(n_chars)
+                out["ratio_e6"].append(int(comp / n_chars * 1_000_000))
+                out["bounds_ok"].append(
+                    8 <= comp <= raw_b + 5 * (raw_b // 16_384 + 1) + 16
+                )
+                out["double_ok"].append(raw_b > 30_000 or comp2 <= comp + 64)
+            yield pd.DataFrame(out)
+
+    return _gates
+
+
+@query(
+    "compression_ratio_perdoc_gate",
+    oracle="""
+SELECT doc_id, GREATEST(length(text), 1) AS n_chars,
+       TRUE AS bounds_ok, TRUE AS double_ok, TRUE AS kernel_consistent
+FROM documents
+""",
+)
+def q_compression_ratio_perdoc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOC oracle companion to `compression_ratio_quality` (VERDICT
+    r9 #6) — the aggregate `compression_ratio_soundness` gate (below, r8)
+    pins quartile-level separation; this one pins every row: zlib itself
+    is not SQL-expressible, so the DuckDB side checks what IS — per-doc
+    char counts as real values, and the kernel's soundness invariants as
+    booleans the value hash forces to TRUE.  `kernel_consistent` joins
+    the PRODUCTION kernel's ratio_e6 against an independent
+    recomputation, so a regression in the shipped kernel's arithmetic
+    (not just in zlib's output) fails the oracle on the exact doc that
+    broke.  Two linear Arrow passes + one equi-join on doc_id — no
+    collect, no quadratic stage."""
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", "text").mapInPandas(
+        compression_ratio_kernel(), schema="doc_id long, n_chars long, ratio_e6 long"
+    )
+    gates = d.select("doc_id", "text").mapInPandas(
+        _compression_gate_kernel(),
+        schema="doc_id long, n_chars long, ratio_e6 long, "
+        "bounds_ok boolean, double_ok boolean",
+    )
+    return gates.alias("g").join(base.alias("b"), "doc_id").select(
+        "doc_id",
+        F.col("g.n_chars").alias("n_chars"),
+        F.col("g.bounds_ok").alias("bounds_ok"),
+        F.col("g.double_ok").alias("double_ok"),
+        (F.col("g.ratio_e6") == F.col("b.ratio_e6")).alias("kernel_consistent"),
+    )
+
+
 @query(
     "bigram_logprob_score",
     oracle="""

@@ -7,16 +7,22 @@ At each corpus size the two FORCED strategies of
 interleaved in one process, alternating order per rep, so ambient load
 cancels in the per-rep ratio.  Corpus points:
 
-  2k   driver sf0.1 embeddings          (well below the threshold)
-  8k   deterministic 8,192-row slice of fresh-sf1
-  20k  fresh-sf1 embeddings             (just above the threshold)
-  60k  fresh-sf3 embeddings             (the IVF side of the crossover)
+  2k            driver sf0.1 embeddings   (well below the threshold)
+  8k/12k/16k    deterministic fixed-size hash slices of fresh-sf1
+                (pmod(xxhash64(vec_id), n) < LIT keeps ~LIT rows of n;
+                 labels carry the MEASURED count — r9's harness sliced
+                 with LIT=BRUTE_TOPK_MAX_ROWS and mislabeled the
+                 resulting 16,362 rows "8k_slice", VERDICT r9)
+  20k           fresh-sf1 embeddings      (just above the threshold)
+  40k           hash slice of fresh-sf3
+  60k           fresh-sf3 embeddings
 
 A ratio (ivf/brute) > 1 means brute is faster at that size; < 1 means
 the IVF-composed form is.  The measurements force each strategy, so they
 are independent of the dispatch threshold; `brute_max_rows` in the
 payload records the constant shipped at measurement time.  The
-checked-in artifact is AB_HYBRID_r09.json.
+checked-in artifact is AB_HYBRID_r10.json (supersedes AB_HYBRID_r09.json,
+whose mid point the slice bug displaced to 16,362 rows).
 
 Usage:
   python tools/hybrid_ab.py [--reps N] [--json OUT]
@@ -44,24 +50,36 @@ from crawling_vectordb_llm_spark.operators.knn import (
 TAU, K = 0.35, 5  # the consumers' TOPK_TAU / TOPK_K operating point
 
 
+def _slice(df, n: int, target: int):
+    """Deterministic ~target-row hash slice: pmod(xxhash64(id), n) is
+    uniform over [0, n), so `< target` keeps a Binomial(n, target/n)
+    subset with mean `target` rows.  The label is built from the
+    MEASURED count downstream, never from `target` (VERDICT r9: the r9
+    harness compared against BRUTE_TOPK_MAX_ROWS here and shipped a
+    16,362-row point labeled '8k_slice')."""
+    return df.where(F.pmod(F.xxhash64("vec_id"), F.lit(n)) < F.lit(target))
+
+
 def _corpora(spark) -> list[tuple[str, "object"]]:
     out = [("2k_sf0.1", spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet"))]
     sf1 = os.environ.get("SPARK_GRAFT_SF1F_DIR", "/tmp/sf1_fresh")
     if os.path.exists(os.path.join(sf1, "embeddings.parquet")):
         big = spark.read.parquet(os.path.join(sf1, "embeddings.parquet"))
         n = big.count()
-        # deterministic ~8192-row slice at the threshold itself
-        mid = big.where(
-            F.pmod(F.xxhash64("vec_id"), F.lit(n)) < F.lit(BRUTE_TOPK_MAX_ROWS)
-        )
-        out.append((f"8k_slice", mid))
+        # bracket the threshold from below AND at it: ~8k and ~12k fill
+        # the 2k-16k gap the r9 artifact left empty, ~16k sits at the
+        # shipped BRUTE_TOPK_MAX_ROWS itself
+        for target in (8_192, 12_288, BRUTE_TOPK_MAX_ROWS):
+            out.append(("slice", _slice(big, n, target)))
         out.append((f"{n // 1000}k_sf1_fresh", big))
     else:
         print(f"WARN: {sf1} missing — run tools/sf1_fresh.py build", file=sys.stderr)
     sf3 = os.environ.get("SPARK_GRAFT_SF3F_DIR", "/tmp/sf3_fresh")
     if os.path.exists(os.path.join(sf3, "embeddings.parquet")):
         big3 = spark.read.parquet(os.path.join(sf3, "embeddings.parquet"))
-        out.append((f"{big3.count() // 1000}k_sf3_fresh", big3))
+        n3 = big3.count()
+        out.append(("slice", _slice(big3, n3, 40_960)))
+        out.append((f"{n3 // 1000}k_sf3_fresh", big3))
     return out
 
 
@@ -86,6 +104,8 @@ def main() -> None:
     for label, df in _corpora(spark):
         df = df.localCheckpoint()  # pin the input; time the join only
         n = df.count()
+        if label == "slice":  # label slices by MEASURED count (VERDICT r9)
+            label = f"{round(n / 1000)}k_slice_n{n}"
         _run(df, "brute")  # cold, uncounted
         _run(df, "ivf")
         walls_b, walls_i = [], []
