@@ -317,15 +317,33 @@ def threshold_similarity_join(
 # this many vectors the exact triangular-grid GEMM is cheaper than paying
 # IVF's k-means + cell-replication overhead; above it the Θ(n²·d) GEMM
 # flops take over (brute marginal exponent 1.75, AB_EXPONENT_POST_r08 —
-# vs ~1.0 IVF-composed).  Measured bracket at d=64 (AB_HYBRID_r09.json,
-# interleaved 5-rep medians): brute 2.7×/2.7×/1.8× faster at n=2k/8k/20k,
-# IVF 1.3× faster at n=60k — raw crossover ≈30–40k.  The threshold sits
-# CONSERVATIVELY below that: in the 16k–40k window the IVF path gives up
-# at most ~1.8× on corpora that finish in seconds either way, and in
-# exchange the dispatch is never quadratic anywhere near the crossover's
-# geometry-dependence (the crossover shrinks as clustering strengthens
-# or admit-rate falls; d itself roughly cancels — both paths' flops and
-# overheads are ∝ d, re-measured at d=1024 in AB_DIM_r09.json).
+# vs ~1.0 IVF-composed).  Measured bracket at d=64 (AB_HYBRID_r10.json,
+# interleaved 7-rep medians of per-rep ratios, fixed-size slices labeled
+# by measured count — supersedes AB_HYBRID_r09.json, whose mid point a
+# slice bug displaced to 16,362 rows and whose 5-rep 60k walls spanned
+# 1.25–12.5 s): brute 2.34×/2.54×/2.86×/2.46× faster at
+# n=2,000/8,165/12,232/16,362; 1.69× at 20,000; IVF 1.09×/1.13× faster
+# at 40,798/60,000 — the d=64 crossover sits at ≈25–40k.  The threshold
+# sits below that on purpose: the give-up is bounded at the measured
+# ≈1.7× in the narrow 16k–25k window (seconds either way), while the
+# payoff is that a by-name 100 TB caller is never on the e≈1.75 path —
+# and the crossover is geometry-dependent (it shrinks as clustering
+# strengthens or admit-rate falls; the isotropic fixture is IVF's worst
+# case because the angular prune admits almost every cell pair).
+# Dimension: measured at the reference's d=1024 operating point
+# (AB_DIM_r10.json, hash-embedded document text, same protocol), d does
+# NOT simply cancel — IVF's k-means/replication overheads scale with d
+# harder than BLAS GEMM does, so brute leads 3.40×/4.95×/3.04×/2.88× at
+# n=2,015/8,226/16,513/20,147, converging to 1.20× at 60,020 (crossover
+# above 60k at d=1024).  The dispatch therefore never slows the d=1024
+# caller below the threshold (brute is the faster side everywhere
+# there), and above it gives up a bounded, n-shrinking ≤2.9× constant
+# in exchange for the asymptotic guarantee: at n=1M brute's quadratic
+# flops are ~278× its 60k cost vs IVF's ~17× linear growth, so the
+# crossover's absolute position cannot rescue brute at corpus scale.
+# All four d=1024 ANN-ladder recall gates and the pruned-join
+# bit-identity (recall 1.0 at any d by the angular triangle inequality)
+# are green in the same artifact.
 BRUTE_TOPK_MAX_ROWS = 16_384
 
 
@@ -402,7 +420,14 @@ def topk_similarity_self_join(
     spark = df.sparkSession
     if strategy not in ("auto", "brute", "ivf"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    n = df.count() if (strategy == "auto" or n_blocks is None) else None
+    # Count only when the dispatch or the brute block picker needs it —
+    # a forced strategy="ivf" call must not pay a full scan for a value
+    # the ivf branch never reads (ADVICE r9).
+    n = (
+        df.count()
+        if (strategy == "auto" or (strategy == "brute" and n_blocks is None))
+        else None
+    )
     if strategy == "auto":
         strategy = "brute" if n <= brute_max_rows else "ivf"
     if strategy == "ivf":
