@@ -14,9 +14,13 @@ component diameter — a plain min-label propagation needs O(diameter)
 rounds, which is unbounded on chain-shaped dup graphs (page A ~ B ~ C
 ~ ... from incremental crawls).
 
-Spark mapping: each round is ONE shuffle (groupBy node) with the
-neighborhood min computed via array expressions — no UDFs, no joins
-inside a round.  `localCheckpoint` truncates the iterative lineage so
+Spark mapping: each round is a partial-aggregable per-node MIN (one
+shuffle, map-side combined — skew-safe at the hub node the algorithm
+itself creates) plus one co-partitioned equi-join to emit the star
+edges — no UDFs, no arrays (the r10 rewrite; the previous
+collect_set-based round held the hub's whole neighborhood in one
+aggregation buffer and measured 167 s/round on a converged 180k-node
+star).  `localCheckpoint` truncates the iterative lineage so
 the plan does not grow O(rounds) deep; convergence is detected by a
 cheap order-insensitive edge fingerprint (count + sum of xxhash64),
 one lightweight action per round.
@@ -31,11 +35,25 @@ from pyspark.sql import functions as F
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     """One large-star or small-star round.
 
-    large-star: group the symmetrized edge list by u; with m =
-    min(N(u) + {u}), emit (v, m) for every neighbor v > u.
-    small-star: group edges directed large->small by u; emit (v, m)
+    large-star: with m = min(N(u) + {u}) per node u of the symmetrized
+    edge list, emit (v, m) for every neighbor v > u.
+    small-star: with m over edges directed large->small, emit (v, m)
     for every neighbor v (all <= u) plus (u, m), dropping self-loops.
-    """
+
+    Physical shape (r10 rewrite): per-node minima via `F.min` — a
+    PARTIAL-AGGREGABLE scalar, so the hub node the algorithm itself
+    creates (every edge of a converged component points at the
+    component min) is map-side combined into one partial per input
+    partition — then one co-partitioned equi-join back on u to emit the
+    star edges.  The previous form built each node's full neighbor
+    array (`collect_set` + array filter + explode); on a converged
+    180k-node star the hub's single 180k-element aggregation buffer
+    took 167 s PER ROUND (measured r10, CC_MODE_r10 diagnosis) versus
+    ~1 s for the min+join form — the array was quadratic bookkeeping
+    for a value (the min) and an emission (the group's rows) that
+    Catalyst computes directly.  Both forms emit identical edge SETS;
+    duplicate rows the array-dedup used to absorb are absorbed by the
+    small-star distinct below, exactly as before."""
     if large:
         sym = edges.select("u", "v").unionAll(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -44,17 +62,22 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
         sym = edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-    grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-    m = F.least(F.col("u"), F.array_min("nbrs"))
+    gmin = sym.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
     if large:
-        targets = F.expr("filter(nbrs, x -> x > u)")
+        out = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(gmin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
     else:
-        targets = F.array_union("nbrs", F.array("u"))
-    out = grouped.select(
-        F.explode(targets).alias("u"), m.alias("v")
-    ).where(F.col("u") != F.col("v"))
+        out = (
+            sym.join(gmin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(gmin.select("u", F.col("m").alias("v")))
+        )
+    out = out.where(F.col("u") != F.col("v"))
     # Deduplicate only after the small-star round: the large-star output
-    # feeds straight into small-star's groupBy, whose collect_set absorbs
+    # feeds straight into small-star's min aggregate, which absorbs
     # duplicates for free — a distinct() there is one wasted shuffle per
     # round.  The small-star output must be distinct (it is the per-round
     # edge state the fingerprint and final labels read).
