@@ -216,3 +216,24 @@ def test_tpch_q21_single_aggregate_no_self_join(spark):
     formulation scans it three times)."""
     plan = plan_of(spark, "tpch_q21_shape")
     assert sum("FileScan" in l and "lineitem" in l for l in plan.splitlines()) == 1
+
+
+def test_star_round_never_materializes_a_neighborhood(spark):
+    """CC star rounds must compute per-node minima as a PARTIAL-AGGREGABLE
+    scalar + equi-join, never a collect_set neighborhood array: on a
+    converged component every edge points at the component min, so one
+    node's 'array' is the whole component — the r10 sf9 run measured
+    167 s/round in that buffer vs 3.5 s for the min+join form (SCALE.md
+    round 10, CC_MODE_PREFIX_r10.json vs CC_MODE_r10.json)."""
+    from pyspark.sql import functions as F
+
+    from crawling_vectordb_llm_spark.operators.components import _star_round
+
+    star = spark.range(1, 2000).select(F.col("id").alias("u"), F.lit(0).alias("v"))
+    for large in (True, False):
+        df = _star_round(star, large=large)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "collect_set" not in plan, plan[:800]
+        assert "Generate explode" not in plan, plan[:800]
+        # the min must reach a partial (map-side) aggregate
+        assert "partial_min" in plan or "partial_least" in plan, plan[:800]
