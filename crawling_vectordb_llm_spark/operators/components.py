@@ -48,8 +48,9 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     star edges.  The previous form built each node's full neighbor
     array (`collect_set` + array filter + explode); on a converged
     180k-node star the hub's single 180k-element aggregation buffer
-    took 167 s PER ROUND (measured r10, CC_MODE_r10 diagnosis) versus
-    ~1 s for the min+join form — the array was quadratic bookkeeping
+    took 167 s PER ROUND (measured r10, SCALE.md round-10 instrumentation;
+    fixpoint walls in CC_MODE_r10.json) versus ~3.5 s for the min+join
+    form — the array was quadratic bookkeeping
     for a value (the min) and an emission (the group's rows) that
     Catalyst computes directly.  Both forms emit identical edge SETS;
     duplicate rows the array-dedup used to absorb are absorbed by the

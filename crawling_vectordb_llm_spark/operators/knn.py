@@ -331,7 +331,8 @@ def threshold_similarity_join(
 # strengthens or admit-rate falls; the isotropic fixture is IVF's worst
 # case because the angular prune admits almost every cell pair).
 # Dimension: measured at the reference's d=1024 operating point
-# (AB_DIM_r10.json, hash-embedded document text, same protocol), d does
+# (AB_DIM_r10.json, hash-embedded document text, same interleaved
+# protocol at 5 reps/side vs the d=64 run's 7), d does
 # NOT simply cancel — IVF's k-means/replication overheads scale with d
 # harder than BLAS GEMM does, so brute leads 3.40×/4.95×/3.04×/2.88× at
 # n=2,015/8,226/16,513/20,147, converging to 1.20× at 60,020 (crossover

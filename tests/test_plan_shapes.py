@@ -223,8 +223,10 @@ def test_star_round_never_materializes_a_neighborhood(spark):
     scalar + equi-join, never a collect_set neighborhood array: on a
     converged component every edge points at the component min, so one
     node's 'array' is the whole component — the r10 sf9 run measured
-    167 s/round in that buffer vs 3.5 s for the min+join form (SCALE.md
-    round 10, CC_MODE_PREFIX_r10.json vs CC_MODE_r10.json)."""
+    167 s/round in that buffer vs 3.5 s for the min+join form (per-round
+    figures: SCALE.md round-10 instrumentation, prose-only; the checked-in
+    artifacts CC_MODE_PREFIX_r10.json / CC_MODE_r10.json record the
+    whole-fixpoint medians, 201 s vs 8.2 s on the same sf9 star)."""
     from pyspark.sql import functions as F
 
     from crawling_vectordb_llm_spark.operators.components import _star_round
