@@ -32,6 +32,21 @@ Two sections, one artifact (AB_DIM_r10.json):
 
 Usage:
   python tools/dim_ab.py [--reps N] [--dim D] [--json OUT]
+                         [--gates-only] [--consumer]
+
+--gates-only skips section 1 (the crossover bracket) — for re-running
+the recall gates after an ANN-knob change that cannot move the
+dispatch crossover (e.g. the r11 d-adaptive IVF-PQ m: ivfpq_topk is
+not on the `topk_similarity_self_join` path at all).  The artifact
+records crossover_pairs: "unchanged — see AB_DIM_r10.json".
+
+--consumer adds section 3 (VERDICT r10 #6): a CONSUMER-level scaling
+exponent at d — the `embedding_near_dup` body (bounded top-k edges,
+hybrid dispatch) interleaved across the sf1 (20k) and sf3 (60k)
+hash-embedded document corpora in one process; e = ln(ratio)/ln(3).
+Closes the gap between the d=64 exponent base (AB_EXPONENT_POST_r10)
+and the reference's d=1024 operating point: the primitive was
+validated at d=1024 in r10, but no consumer exponent had been.
 
 Run alone on the box (bench noise rules, MEMORY.md).
 """
@@ -212,9 +227,63 @@ def recall_gates(spark, dim: int) -> dict:
     return {"gate_corpus_n": n, "gates": gates}
 
 
+def consumer_exponent(spark, dim: int, reps: int) -> dict:
+    """Section 3: the `embedding_near_dup` consumer body (bounded top-k
+    edge graph via the hybrid dispatch) interleaved across the full sf1
+    and sf3 document corpora hash-embedded at `dim`.  Same A,B/B,A
+    alternation and median-of-per-rep-ratios as tools/ab_bench.py."""
+    import math
+
+    from crawling_vectordb_llm_spark.operators.knn import topk_edges
+
+    def _consumer_run(df) -> float:
+        t0 = time.time()
+        topk_edges(
+            topk_similarity_self_join(df, k=K, tau=TAU, n_cells=16)
+        ).count()
+        return time.time() - t0
+
+    emb_a = _embedded_slice(spark, SF1, 10**9, dim)  # full 20k corpus
+    emb_b = _embedded_slice(spark, SF3, 10**9, dim)  # full 60k corpus
+    n_a, n_b = emb_a.count(), emb_b.count()
+    _consumer_run(emb_a)  # cold, uncounted
+    _consumer_run(emb_b)
+    walls_a, walls_b = [], []
+    for rep in range(reps):
+        if rep % 2 == 0:
+            walls_a.append(_consumer_run(emb_a))
+            walls_b.append(_consumer_run(emb_b))
+        else:
+            walls_b.append(_consumer_run(emb_b))
+            walls_a.append(_consumer_run(emb_a))
+        spark.catalog.clearCache()
+        gc.collect()
+    med = statistics.median
+    ratios = sorted(wb / max(wa, 1e-9) for wa, wb in zip(walls_a, walls_b))
+    ratio = med(ratios)
+    row = {
+        "consumer": "embedding_near_dup (bounded top-k edges, hybrid dispatch)",
+        "dim": dim,
+        "n_a": n_a,
+        "n_b": n_b,
+        "a_median_s": round(med(walls_a), 3),
+        "b_median_s": round(med(walls_b), 3),
+        "b_over_a_median_ratio": round(ratio, 3),
+        "marginal_exponent": round(math.log(ratio) / math.log(n_b / n_a), 3),
+        "a_walls_s": [round(w, 3) for w in walls_a],
+        "b_walls_s": [round(w, 3) for w in walls_b],
+        "reps": reps,
+    }
+    print(f"consumer exponent d={dim}: {row['marginal_exponent']} "
+          f"(ratio {row['b_over_a_median_ratio']} over {n_a}->{n_b})",
+          flush=True)
+    return row
+
+
 def main() -> None:
     args = sys.argv[1:]
     reps, dim, json_out = 5, 1024, None
+    gates_only, consumer = False, False
     while args and args[0].startswith("--"):
         if args[0] == "--reps":
             reps, args = int(args[1]), args[2:]
@@ -222,11 +291,19 @@ def main() -> None:
             dim, args = int(args[1]), args[2:]
         elif args[0] == "--json":
             json_out, args = args[1], args[2:]
+        elif args[0] == "--gates-only":
+            gates_only, args = True, args[1:]
+        elif args[0] == "--consumer":
+            consumer, args = True, args[1:]
         else:
             raise SystemExit(f"unknown flag {args[0]!r}")
     spark = get_spark("dim_ab")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
-    pairs = crossover(spark, dim, reps)
+    pairs = (
+        "unchanged - dispatch path untouched; see AB_DIM_r10.json"
+        if gates_only
+        else crossover(spark, dim, reps)
+    )
     gates = recall_gates(spark, dim)
     payload = {
         "dim": dim,
@@ -237,16 +314,25 @@ def main() -> None:
         "protocol": "interleaved A/B, alternating order, 1 cold rep/side, "
         f"{reps} timed reps/side, median of per-rep ratios",
         "crossover_pairs": pairs,
+        "ivfpq_m": "auto_m_subvectors(dim): fixed 8-dim sub-vector width "
+        "(r11 — d-adaptive m; was a fixed m=8 through AB_DIM_r10.json)",
         "recall": gates,
     }
+    if consumer:
+        payload["consumer_exponent"] = consumer_exponent(spark, dim, reps)
     if json_out:
         with open(json_out, "w") as f:
             json.dump(payload, f, indent=1)
             f.write("\n")
     print(json.dumps({
-        "pairs": [{k: v for k, v in r.items() if not k.endswith("walls_s")}
-                  for r in pairs],
+        "pairs": pairs if isinstance(pairs, str) else [
+            {k: v for k, v in r.items() if not k.endswith("walls_s")}
+            for r in pairs
+        ],
         "gates": {k: v for k, v in gates["gates"].items()},
+        **({"consumer_exponent": {
+            k: v for k, v in payload["consumer_exponent"].items()
+            if not k.endswith("walls_s")}} if consumer else {}),
     }))
 
 
