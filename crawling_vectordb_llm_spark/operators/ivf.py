@@ -338,6 +338,7 @@ def ivf_pruned_threshold_join(
     score_col: str = "score",
     stats_out: dict | None = None,
     centroids: "np.ndarray | None" = None,
+    gemm_prefilter: bool = True,
 ) -> DataFrame:
     """EXACT cosine-threshold self-join through IVF-cell candidate pruning
     — the composed "candidates → verify" pipeline (VERDICT r2 #2) with
@@ -409,6 +410,7 @@ def ivf_pruned_threshold_join(
             gemm_chunk_rows,
             triangular=diagonal,
             orient=True,
+            prefilter=gemm_prefilter,
         )
         return pd.DataFrame({"a_id": out[0], "b_id": out[1], score_col: out[2]})
 
@@ -580,6 +582,7 @@ def ivf_pruned_topk_join(
     item_col: str = "item_id",
     neighbor_col: str = "neighbor_id",
     centroids: "np.ndarray | None" = None,
+    gemm_prefilter: bool = True,
 ) -> DataFrame:
     """BOUNDED-OUTPUT composition of the IVF-cell prune and the per-item
     top-k emission (VERDICT r6 #1): every item's top-k cosine neighbors
@@ -627,6 +630,7 @@ def ivf_pruned_topk_join(
             k,
             gemm_chunk_rows,
             diagonal=diagonal,
+            prefilter=gemm_prefilter,
         )
         return pd.DataFrame(
             {item_col: out[0], neighbor_col: out[1], score_col: out[2]}

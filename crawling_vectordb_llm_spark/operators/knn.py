@@ -339,12 +339,30 @@ def threshold_similarity_join(
 # above 60k at d=1024).  The dispatch therefore never slows the d=1024
 # caller below the threshold (brute is the faster side everywhere
 # there), and above it gives up a bounded, n-shrinking ≤2.9× constant
-# in exchange for the asymptotic guarantee: at n=1M brute's quadratic
-# flops are ~278× its 60k cost vs IVF's ~17× linear growth, so the
-# crossover's absolute position cannot rescue brute at corpus scale.
+# in exchange for the prune's structure-dependent win (see below).
 # All four d=1024 ANN-ladder recall gates and the pruned-join
 # bit-identity (recall 1.0 at any d by the angular triangle inequality)
 # are green in the same artifact.
+#
+# r11 third-scale-point CORRECTION (AB_EXPONENT_SF9_r11.json +
+# EXP_SF9_DIAG_r11.json): the "~1.0 IVF-composed" exponent the r8/r10
+# two-point pairs measured was fixed overhead still amortizing.  On
+# ISOTROPIC corpora the angular prune admits the full cell grid
+# (admit_rate 1.0000 at 60k AND 180k, candidate ratio exactly 9.0=n²),
+# so BOTH dispatch arms are Θ(n²·d) flops — at 180k the GEMM is 94% of
+# the wall and the measured sf3→sf9 exponents ran 1.41–1.83.  That is
+# the information cost of exact recall-1.0 top-k on structure-free
+# geometry, not an operator defect (FAISS exact = brute GEMM for the
+# same reason).  The dispatch still buys the smaller constant
+# (replication ≤ C+1 vs P+1) and the prune converts CLUSTER STRUCTURE
+# into skipped blocks — with cluster count ∝ n the same 60k→180k step
+# runs at e≈1 (CLUSTERED_SF9_r11.json), which is the geometry real
+# encoder embeddings have at 100 TB.  The f32-prefilter/f64-verify
+# kernel below (r11) halves the DRAM-bandwidth-bound constant on both
+# arms with bit-identical output (KERNEL_DECOMP_r11.json,
+# GEMM_PREFILTER_AB_r11.json); the gated approximate ladder (IVF probe
+# / PQ / LSH) remains the sub-quadratic path when the corpus genuinely
+# has no structure.
 BRUTE_TOPK_MAX_ROWS = 16_384
 
 
@@ -363,6 +381,7 @@ def topk_similarity_self_join(
     strategy: str = "auto",
     brute_max_rows: int = BRUTE_TOPK_MAX_ROWS,
     n_cells: int = 16,
+    gemm_prefilter: bool = True,
 ) -> DataFrame:
     """BOUNDED-OUTPUT similarity self-join (VERDICT r6 #1): for every item,
     its top-k cosine neighbors with score >= tau — the scale-safe emission
@@ -447,6 +466,7 @@ def topk_similarity_self_join(
             score_col=score_col,
             item_col=item_col,
             neighbor_col=neighbor_col,
+            gemm_prefilter=gemm_prefilter,
         )
     if n_blocks is None:
         n_blocks = _pick_blocks(
@@ -490,6 +510,7 @@ def topk_similarity_self_join(
             a["__id"].to_numpy(), np.array(list(a["__v"]), dtype=np.float64),
             b["__id"].to_numpy(), np.array(list(b["__v"]), dtype=np.float64),
             tau, k, gemm_chunk_rows, diagonal=(i == j),
+            prefilter=gemm_prefilter,
         )
         return pd.DataFrame(
             {item_col: out[0], neighbor_col: out[1], score_col: out[2]}
@@ -523,6 +544,31 @@ def topk_edges(
     ).distinct()
 
 
+def _f32_margin(dim: int) -> float:
+    """Admission margin for the f32-prefilter GEMM (r11): the worst-case
+    f32 accumulation error of a d-term unit-vector dot is ~d*eps32
+    (gamma_d bound); 4x that — floored at 1e-4 — gives >=4x headroom at
+    any dim (d=64: 1e-4 vs ~7.6e-6 bound; d=1024: 4.9e-4 vs ~1.2e-4).
+    Every pair whose TRUE f64 cosine >= tau provably survives the
+    f32 mask at tau - margin; survivors are re-scored in f64 and
+    re-cut at tau, so the output is the exact-join output."""
+    return max(1e-4, 4.0 * dim * float(np.finfo(np.float32).eps))
+
+
+def _f64_rescore(
+    am: np.ndarray, bm: np.ndarray, ri: np.ndarray, ci: np.ndarray
+) -> np.ndarray:
+    """Exact f64 cosine of candidate pairs only — sliced so the gathered
+    (cand, d) temporaries stay bounded (~64 MB at d=64) even when a
+    dup-dense block admits millions of candidates."""
+    out = np.empty(len(ri), dtype=np.float64)
+    step = 1 << 16
+    for s in range(0, len(ri), step):
+        sl = slice(s, s + step)
+        out[sl] = np.einsum("ij,ij->i", am[ri[sl]], bm[ci[sl]])
+    return out
+
+
 def _topk_tau_gemm(
     a_ids: np.ndarray,
     a_mat: np.ndarray,
@@ -532,6 +578,7 @@ def _topk_tau_gemm(
     k: int,
     chunk_rows: int,
     diagonal: bool,
+    prefilter: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Directed per-item local top-k of cosine >= tau between two id sets.
 
@@ -553,7 +600,21 @@ def _topk_tau_gemm(
     even that full-sort at 10% planted-dup density).  ids are pre-sorted
     ascending, so index order = id order and the lexsort tiebreak
     matches the global grouped_topk stage and the SQL row_number oracle
-    exactly."""
+    exactly.
+
+    prefilter=True (r11, the default): the chunk GEMM runs in FLOAT32
+    (half the memory traffic, ~2x the BLAS rate — sgemm vs dgemm), the
+    >=tau mask admits at tau - _f32_margin(d), and only the admitted
+    candidates are re-scored in f64 and re-cut at tau — same output
+    pairs and 6-dp scores as the f64 GEMM, at roughly half the
+    flop-bound wall.  The sf3->sf9 third scale point showed the
+    bounded-join consumers GEMM-bound on the isotropic fixtures
+    (EXP_SF9_DIAG_r11.json: the angular prune admits ~every cell pair
+    with no cluster structure to skip, so compute is the full pairwise
+    grid); this halves the constant on that regime — the exponent
+    itself is the information cost of exact top-k at recall 1.0 on
+    structure-free geometry.  prefilter=False keeps the pure-f64 path
+    for A/B measurement."""
     empty = (np.array([]), np.array([]), np.array([]))
     if len(a_ids) == 0 or len(b_ids) == 0 or k <= 0:
         return empty
@@ -563,6 +624,10 @@ def _topk_tau_gemm(
     b_ids, b_mat = b_ids[b_ord], b_mat[b_ord]
     a_mat = a_mat / np.maximum(np.linalg.norm(a_mat, axis=1, keepdims=True), 1e-30)
     b_mat = b_mat / np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-30)
+    if prefilter:
+        a32 = a_mat.astype(np.float32)
+        b32_t = b_mat.astype(np.float32).T
+        tau32 = tau - _f32_margin(a_mat.shape[1])
 
     def _rank_keep(grp: np.ndarray, other: np.ndarray, sc: np.ndarray, kk: int):
         """Rank candidates (grp, score desc, other asc), keep rank < kk.
@@ -582,14 +647,29 @@ def _topk_tau_gemm(
     for start in range(0, a_mat.shape[0], chunk_rows):
         am = a_mat[start : start + chunk_rows]
         ai = a_ids[start : start + chunk_rows]
-        scores = am @ b_mat.T  # (chunk, |B|)
-        valid = scores >= tau
-        if diagonal:
-            valid &= ai[:, None] != b_ids[None, :]
-        ri, ci = np.nonzero(valid)
-        if len(ri) == 0:
-            continue
-        sc = np.round(scores[ri, ci], 6)
+        if prefilter:
+            s32 = a32[start : start + chunk_rows] @ b32_t  # (chunk, |B|) f32
+            valid = s32 >= tau32
+            if diagonal:
+                valid &= ai[:, None] != b_ids[None, :]
+            ri, ci = np.nonzero(valid)
+            if len(ri) == 0:
+                continue
+            exact = _f64_rescore(am, b_mat, ri, ci)
+            keep = exact >= tau
+            ri, ci, exact = ri[keep], ci[keep], exact[keep]
+            if len(ri) == 0:
+                continue
+            sc = np.round(exact, 6)
+        else:
+            scores = am @ b_mat.T  # (chunk, |B|)
+            valid = scores >= tau
+            if diagonal:
+                valid &= ai[:, None] != b_ids[None, :]
+            ri, ci = np.nonzero(valid)
+            if len(ri) == 0:
+                continue
+            sc = np.round(scores[ri, ci], 6)
         # A direction: per-row top-k over B columns (complete per chunk —
         # each A row sees every B column)
         ga, oa, sa = _rank_keep(ri, ci, sc, ka)
@@ -662,30 +742,54 @@ def _chunked_tau_gemm(
     chunk_rows: int,
     triangular: bool,
     orient: bool,
+    prefilter: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """L2-normalize both sides, then score A against B in row-chunks of A so
     the score matrix never exceeds chunk_rows × |B|.  triangular=True keeps
     only a_id < b_id (self-join diagonal); orient=True emits each surviving
     cross-block pair as (min_id, max_id) so the unordered pair appears once
-    with a_id < b_id regardless of which block hashed where."""
+    with a_id < b_id regardless of which block hashed where.
+
+    prefilter=True (r11): f32 chunk GEMM + tau - _f32_margin(d) mask,
+    f64 re-score of candidates only, re-cut at tau — same output as the
+    f64 GEMM at ~half the flop-bound wall (see _topk_tau_gemm)."""
     if len(a_ids) == 0 or len(b_ids) == 0:
         empty = np.array([])
         return empty, empty, empty
     a_mat = a_mat / np.maximum(np.linalg.norm(a_mat, axis=1, keepdims=True), 1e-30)
     b_mat = b_mat / np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-30)
+    if prefilter:
+        a32 = a_mat.astype(np.float32)
+        b32_t = b_mat.astype(np.float32).T
+        tau32 = tau - _f32_margin(a_mat.shape[1])
     outs_a, outs_b, outs_s = [], [], []
     for start in range(0, a_mat.shape[0], chunk_rows):
         am = a_mat[start : start + chunk_rows]
         ai = a_ids[start : start + chunk_rows]
-        scores = am @ b_mat.T
-        li, ri = np.nonzero(scores >= tau)
+        if prefilter:
+            s32 = a32[start : start + chunk_rows] @ b32_t
+            li, ri = np.nonzero(s32 >= tau32)
+            if len(li) == 0:
+                continue
+            exact = _f64_rescore(am, b_mat, li, ri)
+            keep = exact >= tau
+            li, ri, exact = li[keep], ri[keep], exact[keep]
+            scores_at = exact
+        else:
+            scores = am @ b_mat.T
+            li, ri = np.nonzero(scores >= tau)
+            scores_at = None
         if len(li) == 0:
             continue
         x_ids, y_ids = ai[li], b_ids[ri]
         if triangular:
             keep = x_ids < y_ids
+            if scores_at is not None:
+                scores_at = scores_at[keep]
             x_ids, y_ids, li, ri = x_ids[keep], y_ids[keep], li[keep], ri[keep]
-        s = np.round(scores[li, ri], 6)
+        s = np.round(
+            scores_at if scores_at is not None else scores[li, ri], 6
+        )
         if orient and not triangular:
             swap = x_ids > y_ids
             x_ids, y_ids = (

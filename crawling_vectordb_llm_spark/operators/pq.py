@@ -52,6 +52,24 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
 
 
+def auto_m_subvectors(dim: int, sub_d: int = 8) -> int:
+    """Dimension-adaptive subquantizer count: m = max(8, dim // sub_d),
+    i.e. a FIXED sub-vector width of `sub_d` dims per codebook — the
+    FAISS IndexIVFPQ sizing practice, so per-subspace quantization error
+    (and therefore ADC rank quality) is d-invariant.  A fixed m=8 was
+    sized for the driver fixtures' d=64; at the reference's d=1024
+    operating point (TencentVDB.py:46) it quantized 128-dim sub-vectors
+    with 16 codes and the IVF-PQ recall margin thinned to 1.9% over the
+    0.65 gate (AB_DIM_r10.json).  At d=64 this resolves to 8 —
+    bit-identical to every prior d=64 artifact.  Irregular dims descend
+    to the nearest divisor (every dim is covered; the fixed-m code
+    silently truncated trailing dims when dim % m != 0)."""
+    m = max(8, dim // sub_d)
+    while dim % m:
+        m -= 1
+    return m
+
+
 def pq_train(
     corpus: DataFrame,
     m_subvectors: int = 8,
@@ -213,7 +231,7 @@ def ivfpq_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
-    m_subvectors: int = 8,
+    m_subvectors: int | None = None,
     n_codes: int = 16,
     shortlist: int = 128,
     query_id: str = "query_id",
@@ -262,6 +280,19 @@ def ivfpq_topk(
     cid = np.array([r[1] for r in rows], dtype=np.int64)
     resid = x - cents[cid]
     dim = x.shape[1]
+    # Auto mode (m_subvectors=None, r11): m tracks DIMENSION at a fixed
+    # 8-dim sub-vector width (auto_m_subvectors — rationale + the
+    # AB_DIM_r10.json thin-margin history in its docstring).  d-adaptive
+    # m restores d=64-equivalent ADC resolution at the reference's
+    # d=1024: re-measured recall in AB_DIM_r11.json.  Byte cost is the
+    # honest FAISS trade: codes are m bytes/vector (128 B at d=1024 vs
+    # 4 KiB floats, still a 32x scan-size reduction).
+    if m_subvectors is None:
+        m_subvectors = auto_m_subvectors(dim)
+    elif dim % m_subvectors:
+        raise ValueError(
+            f"dim {dim} not divisible by m_subvectors {m_subvectors}"
+        )
     sub_d = dim // m_subvectors
     rng = np.random.default_rng(seed)
     books = np.empty((m_subvectors, n_codes, sub_d), dtype=np.float64)

@@ -145,11 +145,19 @@ def _bounded_edges(emb: DataFrame) -> DataFrame:
     recall 1.0 by the angular triangle inequality — outputs bit-identical,
     so the one oracle covers both paths).  This recovers the r7
     small-corpus walls the unconditional IVF switch had regressed
-    1.4–1.5× (VERDICT r8 'what's wrong') while keeping the measured
-    ~1.0–1.1 marginal exponents above the crossover: sf1/sf3 fixtures
+    1.4–1.5× (VERDICT r8 'what's wrong'): sf1/sf3 fixtures
     (20k/60k vectors) stay on the IVF path, driver fixtures (<=2k) on
     the brute path (crossover re-measured at ≈25-40k in
-    AB_HYBRID_r10.json after r9's slice-labeling bug, VERDICT r9)."""
+    AB_HYBRID_r10.json after r9's slice-labeling bug, VERDICT r9).
+
+    Exponent caveat (r11): the sf9 third point showed the IVF arm's
+    two-point e≈1.0–1.1 was overhead amortization — on the isotropic
+    fixtures the prune admits the full grid and compute is Θ(n²·d)
+    for ANY exact method (admit_rate 1.0, EXP_SF9_DIAG_r11.json;
+    e 1.41–1.83 at 60k→180k, AB_EXPONENT_SF9_r11.json).  With cluster
+    structure (the real-encoder regime) the same step measures e≈1
+    (CLUSTERED_SF9_r11.json); the r11 f32-prefilter kernel halves the
+    structure-free constant (knn.py BRUTE_TOPK_MAX_ROWS block)."""
     from crawling_vectordb_llm_spark.operators.knn import (
         topk_edges,
         topk_similarity_self_join,

@@ -152,3 +152,55 @@ def test_empty_and_single_row(spark):
     # a single row has no non-self neighbor
     assert topk_similarity_self_join(one, k=3, tau=-1.0, n_blocks=1).count() == 0
     assert ivf_pruned_topk_join(one, tau=-1.0, k=3, n_cells=2).count() == 0
+
+
+def test_f32_prefilter_kernels_bit_identical():
+    """r11: the f32-prefilter/f64-verify fast path of both block kernels
+    must emit EXACTLY the pure-f64 path's triplets — same pairs, same
+    6-dp scores — on adversarial blocks: isotropic mass, planted
+    near-dup cliques (scores ~1.0), and pairs planted within 1e-5 of
+    tau (inside the f32 error shell, where only the f64 re-cut decides
+    admission)."""
+    import numpy as np
+
+    from crawling_vectordb_llm_spark.operators.knn import (
+        _chunked_tau_gemm,
+        _topk_tau_gemm,
+    )
+
+    rng = np.random.default_rng(7)
+    tau, d = 0.35, 64
+    base = rng.standard_normal((400, d))
+    # planted dups: 20 rows copied with tiny noise
+    base[50:70] = base[0] + 1e-3 * rng.standard_normal((20, d))
+    # planted near-tau pairs: rotate row 1 to land cos within ~1e-5 of tau
+    u = base[1] / np.linalg.norm(base[1])
+    w = rng.standard_normal(d)
+    w -= (w @ u) * u
+    w /= np.linalg.norm(w)
+    for i, eps in enumerate((-3e-5, -1e-5, 0.0, 1e-5, 3e-5)):
+        c = np.clip(tau + eps, -1, 1)
+        base[100 + i] = c * u + np.sqrt(1 - c * c) * w
+    ids_a = np.arange(400) * 3 + 1
+    ids_b = np.arange(250) * 2  # overlapping id ranges, distinct sets
+    mat_b = rng.standard_normal((250, d))
+    mat_b[10:20] = base[2] + 1e-3 * rng.standard_normal((10, d))
+
+    for diagonal in (True, False):
+        b_ids = ids_a if diagonal else ids_b
+        b_mat = base if diagonal else mat_b
+        ref = _topk_tau_gemm(ids_a, base.copy(), b_ids, b_mat.copy(),
+                             tau, 5, 128, diagonal, prefilter=False)
+        fast = _topk_tau_gemm(ids_a, base.copy(), b_ids, b_mat.copy(),
+                              tau, 5, 128, diagonal, prefilter=True)
+        for r, f in zip(ref, fast):
+            assert np.array_equal(r, f)
+    for triangular in (True, False):
+        b_ids = ids_a if triangular else ids_b
+        b_mat = base if triangular else mat_b
+        ref = _chunked_tau_gemm(ids_a, base.copy(), b_ids, b_mat.copy(),
+                                tau, 128, triangular, True, prefilter=False)
+        fast = _chunked_tau_gemm(ids_a, base.copy(), b_ids, b_mat.copy(),
+                                 tau, 128, triangular, True, prefilter=True)
+        for r, f in zip(ref, fast):
+            assert np.array_equal(r, f)

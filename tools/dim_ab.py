@@ -42,11 +42,14 @@ records crossover_pairs: "unchanged — see AB_DIM_r10.json".
 
 --consumer adds section 3 (VERDICT r10 #6): a CONSUMER-level scaling
 exponent at d — the `embedding_near_dup` body (bounded top-k edges,
-hybrid dispatch) interleaved across the sf1 (20k) and sf3 (60k)
-hash-embedded document corpora in one process; e = ln(ratio)/ln(3).
-Closes the gap between the d=64 exponent base (AB_EXPONENT_POST_r10)
-and the reference's d=1024 operating point: the primitive was
-validated at d=1024 in r10, but no consumer exponent had been.
+hybrid dispatch) interleaved across the full sf1 (50k documents) and
+sf3 (150k documents) hash-embedded corpora in one process;
+e = ln(ratio)/ln(3).  Closes the gap between the d=64 exponent base
+(AB_EXPONENT_POST_r10) and the reference's d=1024 operating point.
+Read the result against EXP_SF9_DIAG_r11.json: hash embeddings are
+isotropic, so the exact bounded join is flop-bound quadratic at ANY d
+— the measured e (1.262, AB_DIM_r11.json) documents that the d=64
+third-point law carries to d=1024, not that it is escaped there.
 
 Run alone on the box (bench noise rules, MEMORY.md).
 """
@@ -243,8 +246,8 @@ def consumer_exponent(spark, dim: int, reps: int) -> dict:
         ).count()
         return time.time() - t0
 
-    emb_a = _embedded_slice(spark, SF1, 10**9, dim)  # full 20k corpus
-    emb_b = _embedded_slice(spark, SF3, 10**9, dim)  # full 60k corpus
+    emb_a = _embedded_slice(spark, SF1, 10**9, dim)  # full 50k documents
+    emb_b = _embedded_slice(spark, SF3, 10**9, dim)  # full 150k documents
     n_a, n_b = emb_a.count(), emb_b.count()
     _consumer_run(emb_a)  # cold, uncounted
     _consumer_run(emb_b)
