@@ -41,6 +41,137 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
 
 
+# --- geometry-adaptive cell planning for the exact pruned self-joins ---
+#
+# CLUSTERED_SF9_r11.json showed the triangle-inequality prune runs the
+# bounded join at marginal exponent ~1 when cell COUNT tracks the corpus
+# (192/576 cells at 60k/180k, hand-set) — while the r8-r11 default of a
+# fixed 16 cells silently decays any growing clustered corpus toward the
+# admit-everything n² regime once clusters outnumber cells (VERDICT r11
+# #1).  n_cells=None (the new default) makes that sizing automatic:
+# cells target ~ADAPTIVE_CELL_TARGET_ROWS rows each (the SemDeDup k ∝ n
+# recipe, same pattern as topk.adaptive_cluster_count; 320 matches the
+# published clustered operating point of ~2 cells per 625-row cluster,
+# tools/clustered_bench.py), floored at the historical 16 so every
+# driver fixture (≤2k vectors) keeps its exact r8-r11 geometry, and
+# capped so the driver-side k-means fit and the O(k²) admission matrix
+# stay bounded at any corpus size (at the cap, prune granularity is
+# 2048 cells and the per-cell row count grows — the documented trade).
+ADAPTIVE_CELL_TARGET_ROWS = 320
+ADAPTIVE_CELL_FLOOR = 16
+ADAPTIVE_CELL_CAP = 2_048
+
+# Cost-model constant for the grid planner: one replicated row costs
+# about as much as this many admitted candidate pairs.  Measured at the
+# r11 third scale point (EXP_SF9_DIAG_r11.json, sf9 side): replication/
+# prep 6.2 s for 3.06M shuffled rows (2.0e-6 s/row) vs GEMM 93.3 s for
+# 1.62e10 pairs (5.8e-9 s/pair) → ratio ≈ 350.  Both sides scale with d
+# (bytes vs flops), so the ratio is roughly dimension-invariant.
+REPL_PAIR_COST = 350.0
+
+# Admit-rate guardrail (VERDICT r11 #1b): when the fine-granularity
+# prune admits most of the pair grid on a corpus past this size, the
+# geometry is effectively structure-free and the exact join is
+# provably ~n²/2 compute in ANY engine — warn and name the
+# recall-gated sub-quadratic ladder instead of running quadratic
+# silently at 100 TB.
+ADMIT_WARN_RATE = 0.5
+ADMIT_WARN_MIN_ROWS = 32_768
+
+ADMIT_GUARDRAIL_MSG = (
+    "ivf_pruned join: the angular prune admits {rate:.0%} of all "
+    "{pairs} vector pairs at n={n} ({cells} cells) — the corpus has "
+    "little cluster structure at this granularity, so the EXACT join is "
+    "~n²/2 compute in any engine (EXP_SF9_DIAG_r11.json).  If recall "
+    "1.0 is not required, use the recall-gated approximate ladder "
+    "instead: ivf_topk/ivf_search (probe n_probe of n_cells), "
+    "pq.pq_knn_rerank / pq.ivfpq_topk (ADC shortlist + exact rerank), "
+    "or dedup.minhash_lsh_near_dup (banded LSH)."
+)
+
+
+def adaptive_cell_count(n: int) -> int:
+    """Default fine-grid cell count for the exact pruned self-joins:
+    k = clamp(n // 320, 16, 2048) — cluster count grows with the corpus
+    so per-cell size stays ~constant and cluster structure keeps being
+    convertible into skipped blocks at any scale (see module constants
+    above for the derivation and the floor/cap rationale)."""
+    return max(
+        ADAPTIVE_CELL_FLOOR,
+        min(ADAPTIVE_CELL_CAP, n // ADAPTIVE_CELL_TARGET_ROWS),
+    )
+
+
+def _grid_cost(
+    counts: np.ndarray,
+    admit: np.ndarray,
+    group: np.ndarray,
+    n_groups: int,
+    max_cell_rows: int,
+) -> tuple[float, float, float]:
+    """Exact (candidate_pairs, replicated_rows, model_cost) of running the
+    pruned join on a COARSENING of the fine cell grid: fine cell i is
+    merged into super-block group[i], a super-pair is admitted iff ANY
+    member fine-cell pair is admissible (so no triangle-bound information
+    is lost — merged blocks only ever ADD provably-safe coverage), and
+    oversized super-blocks hash-split per max_cell_rows exactly as the
+    executor will.  All driver-side numpy over the k×k admission matrix;
+    candidate_pairs is exact because sub-splitting partitions each block
+    (Σ over sub-pairs of a cell pair = n_i·n_j; diagonal = n_i(n_i−1)/2)."""
+    P = n_groups
+    G = np.zeros((len(counts), P))
+    G[np.arange(len(counts)), group] = 1.0
+    S = (G.T @ (admit.astype(np.float64) @ G)) > 0.5  # super-pair admission
+    np.fill_diagonal(S, True)  # a block with itself is always admissible
+    M = counts @ G  # rows per super-block
+    s_off = S & ~np.eye(P, dtype=bool)
+    cand = 0.5 * float(M @ (s_off @ M)) + float((M * (M - 1) / 2).sum())
+    nsub = np.maximum(1, np.ceil(M / max_cell_rows))
+    repl = float(M @ (s_off @ nsub)) + float((M * nsub).sum())
+    return cand, repl, cand + REPL_PAIR_COST * repl
+
+
+def _plan_cell_grid(
+    counts: np.ndarray,
+    admit: np.ndarray,
+    max_cell_rows: int,
+    p_floor: int,
+) -> tuple[np.ndarray, int, dict]:
+    """Choose the grid granularity for the pruned join by MEASURED cost,
+    not by fiat: evaluate the fine grid and a halving ladder of modulo
+    coarsenings down to the plain blocked grid's size, score each with
+    the calibrated cand + 350·repl model (REPL_PAIR_COST), and keep the
+    argmin.  On clustered geometry the fine grid wins (admitted pairs
+    collapse to ~diagonal blocks, worth far more than its extra
+    replication); on structure-free geometry every granularity admits
+    ~everything, so the model picks the coarsest grid — replication
+    (P_floor+1)·n, the same shape as the unpruned blocked join — instead
+    of the fine grid's k·n shuffle blow-up.  The coarsening is evaluated
+    HONESTLY: super-pair admission is the OR over member pairs, exactly
+    what the built plan will execute, so a grouping that loses pruning
+    shows its real candidate volume here and simply doesn't get picked."""
+    kf = len(counts)
+    ladder = []
+    p = kf
+    while p > max(1, p_floor):
+        ladder.append(p)
+        p = max(p_floor, p // 2)
+    ladder.append(max(1, min(p_floor, kf)))
+    best = None
+    for P in ladder:
+        group = np.arange(kf) % P
+        cand, repl, cost = _grid_cost(counts, admit, group, P, max_cell_rows)
+        if best is None or cost < best[3]:
+            best = (group, P, cand, cost, repl)
+    group, P, cand, cost, repl = best
+    return group, P, {
+        "plan_candidate_pairs": int(cand),
+        "plan_replicated_rows": int(repl),
+        "plan_cost": float(cost),
+        "plan_ladder": [int(x) for x in ladder],
+    }
+
+
 def bounded_random_sample(
     df: DataFrame, cols: list[str], sample_limit: int, seed: int
 ) -> list:
@@ -331,7 +462,7 @@ def ivf_pruned_threshold_join(
     tau: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: "int | None" = None,
     seed: int = 42,
     max_cell_rows: int = 65_536,
     gemm_chunk_rows: int = 2_048,
@@ -424,7 +555,7 @@ def _ivf_pruned_replicated(
     tau: float,
     id_col: str,
     vec_col: str,
-    n_cells: int,
+    n_cells: "int | None",
     seed: int,
     max_cell_rows: int,
     centroids: "np.ndarray | None",
@@ -436,11 +567,29 @@ def _ivf_pruned_replicated(
     admitted block-pair tasks.  Returns (replicated rows with
     __id/__v/__pk/__role, diagonal pk set, id type) — None for an empty
     corpus.  The caller supplies the per-block-pair kernel (threshold
-    emission or bounded top-k emission)."""
+    emission or bounded top-k emission).
+
+    n_cells=None (the default since r12) sizes the fine grid with
+    `adaptive_cell_count(n)` and then lets `_plan_cell_grid` pick the
+    executed granularity by measured cost — fine cells when the prune
+    converts cluster structure into skipped blocks, the coarse blocked
+    grid when it can't (VERDICT r11 #1a).  An explicit integer keeps the
+    historical fixed-grid behavior bit-for-bit (the A/B tools and prior
+    artifacts pin it).  Either way, when the fine-granularity prune
+    admits most of the grid on a large corpus, an admit-rate guardrail
+    warns and names the recall-gated approximate ladder (VERDICT r11
+    #1b) — the difference between a warning and a silently-quadratic
+    job at 100 TB."""
+    import logging
+    import warnings
+
     spark = corpus.sparkSession
     n = corpus.count()
     if n == 0:
         return None
+    adaptive = n_cells is None
+    if adaptive:
+        n_cells = adaptive_cell_count(n)
     k = max(1, min(n_cells, n))
     if centroids is None:
         centroids = kmeans_centroids(corpus, k, vec_col, seed=seed)
@@ -474,98 +623,144 @@ def _ivf_pruned_replicated(
     # cache: the radius/size pass and the replicated verify pass both scan it
     assigned = assigned.localCheckpoint(eager=False)
 
-    stats = {
+    cell_stats = {
         int(r["__cell"]): (float(r["r"]), int(r["n"]))
         for r in assigned.groupBy("__cell")
         .agg(F.max("__theta").alias("r"), F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    # oversized cells hash-split into sub-blocks (skew guard)
-    n_subs = {cell: max(1, -(-stats[cell][1] // max_cell_rows)) for cell in stats}
+    cells = sorted(cell_stats)
+    kf = len(cells)
+    radii = np.array([cell_stats[c][0] for c in cells])
+    counts = np.array([cell_stats[c][1] for c in cells], dtype=np.float64)
 
     theta_tau = float(np.arccos(np.clip(tau, -1.0, 1.0)))
     cc = np.arccos(
         np.clip(_normalize(centroids) @ _normalize(centroids).T, -1.0, 1.0)
     )
-    # admissible (node_a, node_b) pairs: (cell, sub, pk, role) rows
+    # fine-grid admission: cell pair (i, j) can hold a qualifying vector
+    # pair only if angle(c_i, c_j) - r_i - r_j <= theta_tau
+    admit = (
+        cc[np.ix_(cells, cells)] - radii[:, None] - radii[None, :]
+        <= theta_tau + 1e-9
+    )
+
+    # guardrail on the GEOMETRY (fine granularity), independent of the
+    # executed plan: admit_rate ~1 at scale means no exact method beats
+    # ~n²/2 here — say so and point at the sub-quadratic ladder.
+    ident = np.arange(kf)
+    fine_cand, _, _ = _grid_cost(counts, admit, ident, kf, max_cell_rows)
+    total_pairs = n * (n - 1) // 2
+    fine_admit_rate = fine_cand / max(total_pairs, 1)
+    if n >= ADMIT_WARN_MIN_ROWS and fine_admit_rate >= ADMIT_WARN_RATE:
+        msg = ADMIT_GUARDRAIL_MSG.format(
+            rate=fine_admit_rate, pairs=total_pairs, n=n, cells=kf
+        )
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+        logging.getLogger(__name__).warning(msg)
+        if stats_out is not None:
+            stats_out["guardrail"] = msg
+
+    if adaptive and kf > ADAPTIVE_CELL_FLOOR:
+        group, n_groups, plan_stats = _plan_cell_grid(
+            counts, admit, max_cell_rows,
+            p_floor=_grid_p_floor(n, max_cell_rows, spark),
+        )
+    else:
+        group, n_groups, plan_stats = ident, kf, {}
+
+    # executed grid: super-block pair admission is the OR over member
+    # fine-cell pairs (identity grouping = the fine grid itself)
+    G = np.zeros((kf, n_groups))
+    G[ident, group] = 1.0
+    S = (G.T @ (admit.astype(np.float64) @ G)) > 0.5
+    np.fill_diagonal(S, True)
+    M = counts @ G
+    # oversized blocks hash-split into sub-blocks (skew guard)
+    n_subs = [max(1, -(-int(M[i]) // max_cell_rows)) for i in range(n_groups)]
+
+    # admissible (node_a, node_b) pairs: (group, sub, pk, role) rows
     pair_rows: list[tuple[int, int, int, str]] = []
     diag_pks: set[int] = set()
     pk = 0
-    cells = sorted(stats)
-    for ci in cells:
-        ri = stats[ci][0]
-        for cj in cells:
-            if cj < ci:
-                continue
-            rj = stats[cj][0]
-            if cc[ci, cj] - ri - rj > theta_tau + 1e-9:
-                continue  # provably no qualifying pair across these cells
-            for si in range(n_subs[ci]):
-                sj_start = si if ci == cj else 0
-                for sj in range(sj_start, n_subs[cj]):
-                    diagonal = ci == cj and si == sj
-                    pair_rows.append((ci, si, pk, "a"))
+    cand = 0
+    for gi in range(n_groups):
+        for gj in range(gi, n_groups):
+            if not S[gi, gj]:
+                continue  # provably no qualifying pair across these blocks
+            cand += (
+                int(M[gi]) * (int(M[gi]) - 1) // 2
+                if gi == gj
+                else int(M[gi]) * int(M[gj])
+            )
+            for si in range(n_subs[gi]):
+                sj_start = si if gi == gj else 0
+                for sj in range(sj_start, n_subs[gj]):
+                    diagonal = gi == gj and si == sj
+                    pair_rows.append((gi, si, pk, "a"))
                     if diagonal:
                         diag_pks.add(pk)
                     else:
-                        pair_rows.append((cj, sj, pk, "b"))
+                        pair_rows.append((gj, sj, pk, "b"))
                     pk += 1
     pairs_df = spark.createDataFrame(
-        pair_rows, "__cell int, __sub int, __pk int, __role string"
+        pair_rows, "__grp int, __sub int, __pk int, __role string"
     )
 
-    # per-cell sub id: hash into the cell's own sub count (varies per cell)
-    sub_counts = spark.createDataFrame(
-        [(c, s) for c, s in n_subs.items()], "__cell int, __nsub int"
+    # fine cell -> (executed block, its sub count): one tiny broadcast map
+    cell_map = spark.createDataFrame(
+        [
+            (int(c), int(group[i]), int(n_subs[group[i]]))
+            for i, c in enumerate(cells)
+        ],
+        "__cell int, __grp int, __nsub int",
     )
     with_sub = (
-        assigned.join(F.broadcast(sub_counts), "__cell")
+        assigned.join(F.broadcast(cell_map), "__cell")
         .withColumn(
             "__sub",
             F.pmod(F.xxhash64(F.col("__id")), F.col("__nsub")).cast("int"),
         )
         .drop("__nsub")
     )
-    replicated = with_sub.join(F.broadcast(pairs_df), ["__cell", "__sub"]).select(
+    replicated = with_sub.join(F.broadcast(pairs_df), ["__grp", "__sub"]).select(
         "__id", "__v", "__pk", "__role"
     )
 
     if stats_out is not None:
-        node_n = {
-            (int(r["__cell"]), int(r["__sub"])): int(r["cnt"])
-            for r in with_sub.groupBy("__cell", "__sub")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
-        by_pk: dict[int, list[tuple[int, int]]] = {}
-        for cell, sub, pk_, _role in pair_rows:
-            by_pk.setdefault(pk_, []).append((cell, sub))
-        cand = 0
-        for pk_, nodes in by_pk.items():
-            if pk_ in diag_pks:
-                m = node_n.get(nodes[0], 0)
-                cand += m * (m - 1) // 2
-            else:
-                cand += node_n.get(nodes[0], 0) * node_n.get(nodes[1], 0)
         total_blocks = sum(
-            n_subs[ci] * n_subs[cj] if ci != cj
-            else n_subs[ci] * (n_subs[ci] + 1) // 2
-            for ci in cells
-            for cj in cells
-            if cj >= ci
+            n_subs[gi] * n_subs[gj] if gi != gj
+            else n_subs[gi] * (n_subs[gi] + 1) // 2
+            for gi in range(n_groups)
+            for gj in range(gi, n_groups)
         )
-        total_pairs = n * (n - 1) // 2
         stats_out.update(
             n=n,
             n_cells=k,
-            admissible_blocks=len(by_pk),
+            fine_cells=kf,
+            fine_candidate_pairs=int(fine_cand),
+            fine_admit_rate=fine_admit_rate,
+            executed_blocks=n_groups,
+            admissible_blocks=pk,
             total_blocks=total_blocks,
             candidate_pairs=cand,
             total_pairs=total_pairs,
             admit_rate=cand / max(total_pairs, 1),
+            **plan_stats,
         )
 
     return replicated, diag_pks, id_t
+
+
+def _grid_p_floor(n: int, max_cell_rows: int, spark) -> int:
+    """Coarsest grid the planner may fall back to: the same block count
+    the unpruned blocked join would pick (memory bound + enough
+    triangular block-pairs to occupy the cluster)."""
+    from crawling_vectordb_llm_spark.operators.knn import _pick_blocks
+
+    return _pick_blocks(
+        n, max_cell_rows, spark.sparkContext.defaultParallelism
+    )
 
 
 def ivf_pruned_topk_join(
@@ -574,7 +769,7 @@ def ivf_pruned_topk_join(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: "int | None" = None,
     seed: int = 42,
     max_cell_rows: int = 65_536,
     gemm_chunk_rows: int = 2_048,

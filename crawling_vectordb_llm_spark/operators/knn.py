@@ -359,7 +359,12 @@ def threshold_similarity_join(
 # runs at e≈1 (CLUSTERED_SF9_r11.json), which is the geometry real
 # encoder embeddings have at 100 TB.  The f32-prefilter/f64-verify
 # kernel below (r11) halves the DRAM-bandwidth-bound constant on both
-# arms with bit-identical output (KERNEL_DECOMP_r11.json,
+# arms with output identical up to f64 summation-order ulps — the
+# rescore sums via einsum, the pure path via BLAS dgemm, so a cosine
+# within ~1 ulp of tau or of a 6-dp rounding boundary could in
+# principle round differently; validated empirically by 0-row
+# symmetric diffs on the full sf3 and sf9 fixtures plus adversarial
+# planted near-tau pairs (KERNEL_DECOMP_r11.json,
 # GEMM_PREFILTER_AB_r11.json); the gated approximate ladder (IVF probe
 # / PQ / LSH) remains the sub-quadratic path when the corpus genuinely
 # has no structure.
@@ -380,7 +385,7 @@ def topk_similarity_self_join(
     neighbor_col: str = "neighbor_id",
     strategy: str = "auto",
     brute_max_rows: int = BRUTE_TOPK_MAX_ROWS,
-    n_cells: int = 16,
+    n_cells: "int | None" = None,
     gemm_prefilter: bool = True,
 ) -> DataFrame:
     """BOUNDED-OUTPUT similarity self-join (VERDICT r6 #1): for every item,
@@ -436,6 +441,16 @@ def topk_similarity_self_join(
     including every per-cell subproblem the IVF form itself creates —
     keep the cheaper exact kernel.  `strategy="brute"`/`"ivf"` force a
     side (the A/B harness and the bit-identity tests use this).
+
+    `n_cells=None` (the r12 default) makes the IVF arm's prune
+    granularity GEOMETRY-ADAPTIVE: the fine grid is sized by
+    `ivf.adaptive_cell_count(n)` (cells ∝ n, the sizing the clustered
+    e=1.056 scale point needed hand-set in r11 — CLUSTERED_SF9_r11) and
+    `ivf._plan_cell_grid` falls back to the coarse blocked grid by a
+    measured cost model when the corpus has no structure to prune, with
+    an admit-rate guardrail naming the recall-gated approximate ladder
+    (VERDICT r11 #1).  An explicit integer pins the historical fixed
+    grid.
     """
     spark = df.sparkSession
     if strategy not in ("auto", "brute", "ivf"):
@@ -558,11 +573,15 @@ def _f32_margin(dim: int) -> float:
 def _f64_rescore(
     am: np.ndarray, bm: np.ndarray, ri: np.ndarray, ci: np.ndarray
 ) -> np.ndarray:
-    """Exact f64 cosine of candidate pairs only — sliced so the gathered
-    (cand, d) temporaries stay bounded (~64 MB at d=64) even when a
-    dup-dense block admits millions of candidates."""
+    """Exact f64 cosine of candidate pairs only — sliced so the two
+    gathered (step, d) float64 temporaries stay near a fixed ~64 MB
+    budget at ANY dimension (step = 2^26 bytes / row bytes, floored at
+    4096 rows: 65,536 rows at d=64, 8,192 at the reference's d=1024 —
+    a fixed 2^16 step would gather ~1 GiB per slice at d=1024 under
+    32-way task concurrency, ADVICE r11) even when a dup-dense block
+    admits millions of candidates."""
     out = np.empty(len(ri), dtype=np.float64)
-    step = 1 << 16
+    step = max(4096, (1 << 26) // (8 * am.shape[1]))
     for s in range(0, len(ri), step):
         sl = slice(s, s + step)
         out[sl] = np.einsum("ij,ij->i", am[ri[sl]], bm[ci[sl]])
@@ -606,8 +625,10 @@ def _topk_tau_gemm(
     (half the memory traffic, ~2x the BLAS rate — sgemm vs dgemm), the
     >=tau mask admits at tau - _f32_margin(d), and only the admitted
     candidates are re-scored in f64 and re-cut at tau — same output
-    pairs and 6-dp scores as the f64 GEMM, at roughly half the
-    flop-bound wall.  The sf3->sf9 third scale point showed the
+    pairs and 6-dp scores as the f64 GEMM up to f64 summation-order
+    ulps (the rescore is einsum, the pure path BLAS dgemm; equality is
+    validated empirically on full fixtures and planted near-tau pairs,
+    ADVICE r11), at roughly half the flop-bound wall.  The sf3->sf9 third scale point showed the
     bounded-join consumers GEMM-bound on the isotropic fixtures
     (EXP_SF9_DIAG_r11.json: the angular prune admits ~every cell pair
     with no cluster structure to skip, so compute is the full pairwise
@@ -752,7 +773,8 @@ def _chunked_tau_gemm(
 
     prefilter=True (r11): f32 chunk GEMM + tau - _f32_margin(d) mask,
     f64 re-score of candidates only, re-cut at tau — same output as the
-    f64 GEMM at ~half the flop-bound wall (see _topk_tau_gemm)."""
+    f64 GEMM (up to summation-order ulps, see _topk_tau_gemm) at ~half
+    the flop-bound wall."""
     if len(a_ids) == 0 or len(b_ids) == 0:
         empty = np.array([])
         return empty, empty, empty

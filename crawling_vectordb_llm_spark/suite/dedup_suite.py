@@ -164,7 +164,7 @@ def _bounded_edges(emb: DataFrame) -> DataFrame:
     )
 
     return topk_edges(
-        topk_similarity_self_join(emb, k=TOPK_K, tau=TOPK_TAU, n_cells=16)
+        topk_similarity_self_join(emb, k=TOPK_K, tau=TOPK_TAU)
     )
 
 
@@ -310,7 +310,7 @@ def q_ivf_pruned_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawling_vectordb_llm_spark.operators.ivf import ivf_pruned_topk_join
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    return ivf_pruned_topk_join(emb, tau=TOPK_TAU, k=TOPK_K, n_cells=16)
+    return ivf_pruned_topk_join(emb, tau=TOPK_TAU, k=TOPK_K)
 
 
 @query(
@@ -335,7 +335,7 @@ def q_ivf_pruned_near_dup_allpairs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    return ivf_pruned_threshold_join(emb, tau=0.35, n_cells=16)
+    return ivf_pruned_threshold_join(emb, tau=0.35)
 
 
 @query(
@@ -354,7 +354,7 @@ def q_near_dup_pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawling_vectordb_llm_spark.operators.knn import topk_edges
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    directed = ivf_pruned_topk_join(emb, tau=TOPK_TAU, k=TOPK_K, n_cells=16)
+    directed = ivf_pruned_topk_join(emb, tau=TOPK_TAU, k=TOPK_K)
     pairs = topk_edges(directed).select("a_id", "b_id")
     return _cluster_query(spark, pairs, emb)
 
@@ -392,7 +392,7 @@ def q_near_dup_pipeline_clusters_allpairs(
     )
 
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-    pairs = ivf_pruned_threshold_join(emb, tau=0.35, n_cells=16).select(
+    pairs = ivf_pruned_threshold_join(emb, tau=0.35).select(
         "a_id", "b_id"
     )
     return _cluster_query(spark, pairs, emb)

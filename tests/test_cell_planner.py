@@ -1,0 +1,170 @@
+"""Geometry-adaptive cell planning for the exact pruned self-joins
+(VERDICT r11 #1): adaptive default n_cells, the measured-cost grid
+planner, and the admit-rate guardrail.
+
+Reference semantics: J1 at corpus scale (main_server.py:41-44) — the
+engine, not the caller, must keep the exact bounded join off the n²
+regime when the corpus has cluster structure (CLUSTERED_SF9_r11.json
+needed hand-set cells ∝ n; these tests pin the automatic version)."""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pytest
+
+from crawling_vectordb_llm_spark.operators import ivf as I
+
+
+def test_adaptive_cell_count_rule():
+    # floor: every driver fixture (<=2k vectors) keeps the historical
+    # 16-cell geometry — r8-r11 artifacts stay comparable
+    assert I.adaptive_cell_count(500) == 16
+    assert I.adaptive_cell_count(2_000) == 16
+    assert I.adaptive_cell_count(5_120) == 16
+    # linear regime: cells ~ n / 320 (constant expected rows per cell,
+    # the SemDeDup k ∝ n recipe)
+    assert I.adaptive_cell_count(60_000) == 187
+    assert I.adaptive_cell_count(180_000) == 562
+    # cap: driver-side fit and O(k²) admission matrix stay bounded
+    assert I.adaptive_cell_count(10_000_000) == 2_048
+
+
+def test_plan_cell_grid_keeps_fine_grid_on_clustered_geometry():
+    # block-diagonal admission (tight, well-separated clusters): the
+    # fine grid's candidate volume is ~n·cell_size, worth far more than
+    # its extra replication — the planner must keep it
+    kf = 40
+    counts = np.full(kf, 300.0)
+    admit = np.eye(kf, dtype=bool)
+    group, P, st = I._plan_cell_grid(counts, admit, 65_536, p_floor=4)
+    assert P == kf
+    assert np.array_equal(group, np.arange(kf))
+    # diagonal-only candidates: kf * C(300, 2)
+    assert st["plan_candidate_pairs"] == kf * (300 * 299 // 2)
+
+
+def test_plan_cell_grid_coarsens_on_structure_free_geometry():
+    # all-admitted (isotropic) geometry: candidates are ~n²/2 at ANY
+    # granularity, so the planner must pick the coarsest grid and not
+    # pay the fine grid's k·n replication shuffle
+    kf = 64
+    counts = np.full(kf, 1_000.0)
+    admit = np.ones((kf, kf), dtype=bool)
+    group, P, st = I._plan_cell_grid(counts, admit, 65_536, p_floor=8)
+    assert P == 8
+    n = int(counts.sum())
+    assert st["plan_candidate_pairs"] == n * (n - 1) // 2
+    # replication at the coarse grid: every row ships to its P admitted
+    # block-pairs (deg = P with diag once)
+    assert st["plan_replicated_rows"] == n * P
+
+
+def test_plan_cell_grid_respects_p_floor_above_fine_k():
+    # degenerate: fine grid already at/below the coarse floor — identity
+    counts = np.array([100.0, 120.0, 80.0])
+    admit = np.ones((3, 3), dtype=bool)
+    group, P, _ = I._plan_cell_grid(counts, admit, 65_536, p_floor=8)
+    assert P == 3 and np.array_equal(group, np.arange(3))
+
+
+def _clustered_df(spark, per=60, dim=16, n_anchors=8, seed=11):
+    rng = np.random.default_rng(seed)
+    anchors = rng.standard_normal((n_anchors, dim))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    rows, i = [], 0
+    mats = []
+    for a in anchors:
+        pts = a + 0.04 * rng.standard_normal((per, dim))
+        for p in pts:
+            rows.append((i, [float(x) for x in p]))
+            i += 1
+        mats.append(pts)
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(5)
+    return df, np.vstack(mats)
+
+
+def test_adaptive_default_is_exact_through_the_planner(spark, monkeypatch):
+    """n_cells=None end to end: shrink the target so a 480-row corpus
+    plans a fine grid ABOVE the floor (planner actually engaged), and
+    the bounded join must still match the brute-force answer exactly —
+    the planner only regroups provably-safe coverage."""
+    from tests.test_topk_join import _expected
+
+    monkeypatch.setattr(I, "ADAPTIVE_CELL_TARGET_ROWS", 20)
+    df, mat = _clustered_df(spark)
+    assert I.adaptive_cell_count(480) == 24  # planner path, > floor 16
+    exp = _expected(mat, k=4, tau=0.6)
+    got = {
+        (r["item_id"], r["neighbor_id"], r["rank"], r["score"])
+        for r in I.ivf_pruned_topk_join(df, tau=0.6, k=4).collect()
+    }
+    assert got == exp
+
+
+def test_adaptive_stats_report_plan_and_fine_geometry(spark, monkeypatch):
+    monkeypatch.setattr(I, "ADAPTIVE_CELL_TARGET_ROWS", 20)
+    df, _ = _clustered_df(spark)
+    stats: dict = {}
+    I.ivf_pruned_threshold_join(df, tau=0.6, stats_out=stats).count()
+    assert stats["n"] == 480
+    assert stats["fine_cells"] > I.ADAPTIVE_CELL_FLOOR
+    assert 0.0 < stats["fine_admit_rate"] <= 1.0
+    assert stats["executed_blocks"] <= stats["fine_cells"]
+    assert stats["plan_ladder"][0] == stats["fine_cells"]
+    assert stats["candidate_pairs"] >= stats["fine_candidate_pairs"] > 0
+    # at 480 rows the cost model rightly COARSENS (extra replication at
+    # 350 pairs/row dwarfs any prune savings this small — pruning only
+    # pays once candidate savings clear the shuffle term, see
+    # test_plan_cell_grid_keeps_fine_grid_on_clustered_geometry for the
+    # regime where fine wins): executed grid is coarser than fine, and
+    # the fine-geometry telemetry still reports the cluster structure
+    assert stats["executed_blocks"] < stats["fine_cells"]
+    assert stats["fine_admit_rate"] < 0.5
+
+
+def test_admit_guardrail_warns_on_structure_free_corpus(spark, monkeypatch):
+    """Structure-free corpus past the size bound: the prune admits
+    ~everything, and the operator must SAY so — warning + stats entry
+    naming the recall-gated approximate ladder (VERDICT r11 #1b)."""
+    monkeypatch.setattr(I, "ADMIT_WARN_MIN_ROWS", 100)
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in enumerate(rng.standard_normal((150, 8)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats: dict = {}
+    with pytest.warns(RuntimeWarning, match="recall-gated approximate ladder"):
+        I.ivf_pruned_threshold_join(
+            df, tau=0.1, n_cells=4, stats_out=stats
+        ).count()
+    assert "guardrail" in stats
+    assert "ivf_topk" in stats["guardrail"]
+    assert stats["fine_admit_rate"] >= I.ADMIT_WARN_RATE
+
+
+def test_admit_guardrail_silent_below_size_bound(spark):
+    # fixture-sized corpora never trip the guardrail (default bound 32k)
+    rng = np.random.default_rng(4)
+    rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in enumerate(rng.standard_normal((120, 8)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        I.ivf_pruned_threshold_join(df, tau=0.1, n_cells=4).count()
+
+
+def test_explicit_n_cells_keeps_fixed_grid(spark):
+    # an explicit integer must pin the historical fixed grid (A/B tools
+    # and prior artifacts depend on it): executed blocks == n_cells
+    df, _ = _clustered_df(spark, per=30)
+    stats: dict = {}
+    I.ivf_pruned_threshold_join(df, tau=0.6, n_cells=12, stats_out=stats).count()
+    assert stats["executed_blocks"] == stats["fine_cells"] == 12
+    assert "plan_ladder" not in stats

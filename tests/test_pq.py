@@ -127,3 +127,11 @@ def test_auto_m_subvectors_rule():
     for d in (3, 64, 100, 384, 768, 1024):
         m = auto_m_subvectors(d)
         assert d % m == 0
+    # degenerate-descent guard (ADVICE r11): a prime dim like 97 would
+    # descend from 12 all the way to m=1 — one 16-code codebook over the
+    # whole residual, worse ADC rank quality than the fixed m=8 it
+    # replaced.  Fail loudly instead of silently collapsing.
+    import pytest
+
+    with pytest.raises(ValueError, match="pad the embedding"):
+        auto_m_subvectors(97)

@@ -156,11 +156,15 @@ def test_empty_and_single_row(spark):
 
 def test_f32_prefilter_kernels_bit_identical():
     """r11: the f32-prefilter/f64-verify fast path of both block kernels
-    must emit EXACTLY the pure-f64 path's triplets — same pairs, same
-    6-dp scores — on adversarial blocks: isotropic mass, planted
-    near-dup cliques (scores ~1.0), and pairs planted within 1e-5 of
-    tau (inside the f32 error shell, where only the f64 re-cut decides
-    admission)."""
+    must emit the pure-f64 path's triplets — same pairs, same 6-dp
+    scores — on adversarial blocks: isotropic mass, planted near-dup
+    cliques (scores ~1.0), and pairs planted within 1e-5 of tau (inside
+    the f32 error shell, where only the f64 re-cut decides admission).
+    The guarantee is EMPIRICAL equality up to f64 summation-order ulps
+    (einsum rescore vs BLAS dgemm can differ in the last ulp; a cosine
+    within ~1e-15 of tau or of a 6-dp rounding boundary could in
+    principle split the paths — ADVICE r11), validated here and by the
+    0-row symmetric diffs on the full sf3/sf9 fixtures."""
     import numpy as np
 
     from crawling_vectordb_llm_spark.operators.knn import (
