@@ -222,6 +222,50 @@ def bounded_random_sample(
     return _pinned(sampled[:sample_limit])
 
 
+def _kmeanspp_init(x: np.ndarray, k: int, rng) -> np.ndarray:
+    """k-means++ (D²) seeding on the unit sphere (Arthur &
+    Vassilvitskii 2007; the FAISS/scikit-learn default): each next seed
+    is drawn with probability ∝ its squared distance to the nearest
+    chosen seed — on unit vectors ||a-b||² = 2(1-cos), so 1-cos is the
+    proportional weight.  Replaces uniform sample-point init (r12):
+    with K tight, near-orthogonal clusters and k ≈ 2K uniform picks,
+    ~e^(-k/K)·K ≈ 14% of clusters get NO seed; in high-d geometry Lloyd
+    cannot migrate a centroid across ~90° gaps, so orphan clusters
+    scatter onto foreign cells and blow up those cells' angular radii —
+    measured at d=1024 clustered 180k: fine-grid admit_rate 0.163
+    (rising with n) and consumer exponent 1.525 under uniform init,
+    see CLUSTERED_DIM1024_r12.json vs the d=64 run.  D² seeding picks
+    far-apart points, covering every separated cluster with high
+    probability, and is deterministic for a fixed rng.
+
+    The D² pass is k SEQUENTIAL (n·d) sweeps, so it runs on a seeding
+    POOL of ≤32·k points subsampled uniformly from the training sample
+    (coverage is all seeding needs: a cluster holding mass m/n of the
+    corpus lands ~32k·m/n pool points, so any cluster big enough to
+    deserve a centroid is present w.h.p.) — without the pool cap the
+    seeding alone cost more than the pruned join it serves at k≈562
+    (first CLUSTERED_SF9 rerun: 180k-side wall 51 s vs 31 s, all of it
+    driver-side seeding sweeps)."""
+    n = len(x)
+    k = min(k, n)
+    if n > 32 * k:
+        x = x[rng.choice(n, size=32 * k, replace=False)]
+        n = len(x)
+    cents = np.empty((k, x.shape[1]), dtype=np.float64)
+    cents[0] = x[int(rng.integers(n))]
+    d2 = np.maximum(1.0 - x @ cents[0], 0.0)
+    for j in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 1e-12:
+            # every point coincides with a chosen seed: any index works
+            idx = int(rng.integers(n))
+        else:
+            idx = int(rng.choice(n, p=d2 / tot))
+        cents[j] = x[idx]
+        np.minimum(d2, np.maximum(1.0 - x @ cents[j], 0.0), out=d2)
+    return cents
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int,
@@ -232,10 +276,12 @@ def kmeans_centroids(
 ) -> np.ndarray:
     """Centroid fit on a bounded sample — standard IVF practice at any
     scale (FAISS trains on ~max(10k, 50*k) points): one distributed pass
-    collects the sample, then vectorized Lloyd's iterations run on the
-    driver (milliseconds for 200k x 64 float64; no per-iteration Spark job
-    overhead).  Returns the L2-normalized centroid matrix, deterministic
-    for a fixed seed.
+    collects the sample, then k-means++ seeding (r12, _kmeanspp_init —
+    uniform init left ~14% of well-separated clusters seedless and
+    poisoned the triangle-bound radii at d=1024) and vectorized Lloyd
+    iterations run on the driver (no per-iteration Spark job overhead).
+    Returns the L2-normalized centroid matrix, deterministic for a
+    fixed seed.
 
     The EFFECTIVE sample is additionally capped at max(10k, 256·k)
     points (FAISS's 39-256 points-per-centroid training rule), so the
@@ -248,17 +294,26 @@ def kmeans_centroids(
     rows = bounded_random_sample(corpus, [vec_col], sample_limit, seed)
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     rng = np.random.default_rng(seed)
-    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    cents = _kmeanspp_init(x, min(n_centroids, len(x)), rng)
     k = len(cents)
     for _ in range(max_iter):
         assign = np.argmax(x @ cents.T, axis=1)
-        # vectorized centroid update: dim bincounts instead of k masked
-        # means (the Python-loop update dominated the fit at 200k x 64
-        # — same r5 profile finding as pq_train)
+        # vectorized centroid update: ONE segment-sum over the
+        # assignment-sorted rows (r12) instead of d per-dim bincounts —
+        # the bincount loop was d Python-level O(n) passes per
+        # iteration, invisible at d=64 but ~half the fit wall at the
+        # reference's d=1024 (CLUSTERED_DIM1024_r12.json history).
+        # Stable argsort keeps the summation order deterministic.
         counts = np.bincount(assign, minlength=k)
-        sums = np.empty_like(cents)
-        for j in range(x.shape[1]):
-            sums[:, j] = np.bincount(assign, weights=x[:, j], minlength=k)
+        order = np.argsort(assign, kind="stable")
+        starts = np.zeros(k, dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        # reduceat quirks: indices must be < n (clip trailing empty
+        # cells' starts), and an empty segment returns the row AT its
+        # start — both repaired by zeroing empty cells' sums after
+        seg = np.add.reduceat(x[order], np.minimum(starts, len(x) - 1), axis=0)
+        seg[counts == 0] = 0.0
+        sums = seg
         new = np.where(
             counts[:, None] > 0,
             sums / np.maximum(counts, 1)[:, None],
@@ -592,7 +647,23 @@ def _ivf_pruned_replicated(
         n_cells = adaptive_cell_count(n)
     k = max(1, min(n_cells, n))
     if centroids is None:
-        centroids = kmeans_centroids(corpus, k, vec_col, seed=seed)
+        # Cell centroids are a PARTITIONING device, not a quantizer:
+        # exactness never depends on them (radii are computed from the
+        # actual assignment, and the triangle bound is evaluated on
+        # those), only prune efficiency does — which k-means++ coverage
+        # plus a few Lloyd rounds already delivers.  So the in-call fit
+        # trains at 64 points/cell and 8 iterations instead of the ANN
+        # quantizer's 256/15: at k ∝ n the fit term is the one
+        # super-linear cost left in the pruned join (sample·k·d per
+        # iteration), and the quantizer-grade fit pushed the d=1024
+        # clustered wall to fit-dominated e≈1.4 with the prune itself
+        # at admit 0.003 (CLUSTERED_DIM1024_r12.json history).  Callers
+        # needing quantizer-grade cells pass `centroids` explicitly
+        # (plans/index_build.py persists exactly that).
+        centroids = kmeans_centroids(
+            corpus, k, vec_col, seed=seed, max_iter=8,
+            sample_limit=max(10_000, 64 * k),
+        )
     k = centroids.shape[0]
     bc = spark.sparkContext.broadcast(centroids)
 

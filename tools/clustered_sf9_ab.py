@@ -48,15 +48,18 @@ from crawling_vectordb_llm_spark.sources.synthetic_embeddings import (
 )
 
 TAU, K = 0.7, 5          # clustered_bench.py's published clustered regime
-SIGMA = 0.12
+SIGMA = 0.12             # dim-normalized in the generator: same angular
+                         # cluster radius (~arctan(sigma)) at any dim
 ROWS_PER_CLUSTER = 625   # matches clustered_bench: 40k rows / 64 clusters
 SCALES = (60_000, 180_000)
 
 
-def _corpus(spark, n: int):
+def _corpus(spark, n: int, dim: int):
     k_true = n // ROWS_PER_CLUSTER
     df = (
-        clustered_embeddings(spark, n, k=k_true, sigma=SIGMA, partitions=32)
+        clustered_embeddings(
+            spark, n, dim=dim, k=k_true, sigma=SIGMA, partitions=32
+        )
         .select("vec_id", "embedding")
         .localCheckpoint()
     )
@@ -64,7 +67,7 @@ def _corpus(spark, n: int):
     return df, k_true
 
 
-def _run(df, n_cells: int) -> float:
+def _run(df, n_cells: "int | None") -> float:
     t0 = time.time()
     ivf_pruned_topk_join(df, tau=TAU, k=K, n_cells=n_cells).count()
     return time.time() - t0
@@ -72,12 +75,27 @@ def _run(df, n_cells: int) -> float:
 
 def main() -> None:
     args = sys.argv[1:]
-    reps, json_out = 5, None
+    reps, json_out, cells_mode, dim = 5, None, "default", 64
     while args and args[0].startswith("--"):
         if args[0] == "--reps":
             reps, args = int(args[1]), args[2:]
         elif args[0] == "--json":
             json_out, args = args[1], args[2:]
+        elif args[0] == "--dim":
+            # --dim 1024 (r12, VERDICT r11 #4): the clustered point at
+            # the reference's operating dimension — completes the
+            # geometry x dimension exponent matrix (AB_DIM_r11.json's
+            # d=1024 consumer row was isotropic-only) and tests the
+            # SCALE.md claim that angular concentration tightens the
+            # prune at high d.
+            dim, args = int(args[1]), args[2:]
+        elif args[0] == "--cells":
+            # "default" (r12): n_cells=None -> adaptive_cell_count + the
+            # measured-cost grid planner, the engine's out-of-the-box
+            # behavior (VERDICT r11 #1 done-condition: the clustered
+            # exponent must hold with DEFAULTS, not hand-set cells).
+            # "handset" reproduces the r11 protocol (2x true clusters).
+            cells_mode, args = args[1], args[2:]
         else:
             raise SystemExit(f"unknown flag {args[0]!r}")
     spark = get_spark("clustered_sf9_ab")
@@ -85,8 +103,8 @@ def main() -> None:
 
     sides = {}
     for n in SCALES:
-        df, k_true = _corpus(spark, n)
-        n_cells = 2 * k_true
+        df, k_true = _corpus(spark, n, dim)
+        n_cells = None if cells_mode == "default" else 2 * k_true
         stats: dict = {}
         prep = _ivf_pruned_replicated(
             df, TAU, "vec_id", "embedding", n_cells, 42, 65_536, None, stats
@@ -95,6 +113,7 @@ def main() -> None:
         sides[n] = {"df": df, "n_cells": n_cells, "k_true": k_true,
                     "admit": stats, "walls_s": []}
         print(f"n={n}: clusters={k_true} n_cells={n_cells} "
+              f"executed={stats.get('executed_blocks')} "
               f"admit_blocks={stats['admissible_blocks']}/"
               f"{stats['total_blocks']} "
               f"admit_rate={stats['admit_rate']:.5f}", flush=True)
@@ -112,7 +131,8 @@ def main() -> None:
                     for wa, wb in zip(a["walls_s"], b["walls_s"]))
     ratio = med(ratios)
     out = {
-        "tau": TAU, "k": K, "sigma": SIGMA,
+        "tau": TAU, "k": K, "sigma": SIGMA, "cells_mode": cells_mode,
+        "dim": dim,
         "rows_per_cluster": ROWS_PER_CLUSTER,
         "protocol": "interleaved 60k<->180k, alternating order, 1 cold "
         f"rep/side, {reps} timed reps/side, median of per-rep ratios",

@@ -135,7 +135,7 @@ def build_tiered_dir(sf_dir: str, preds: dict[str, str]) -> str:
 
 # Flags that take a value — shared with tools/sf1_fresh.py's forwarder so a
 # new value-taking flag added here is forwarded correctly there (ADVICE r7).
-VALUE_FLAGS = ("--json", "--oracle-timeout")
+VALUE_FLAGS = ("--json", "--oracle-timeout", "--rotate-sample")
 
 
 def main() -> int:
@@ -143,6 +143,7 @@ def main() -> int:
     json_out = None
     oracle_timeout = None
     tiered = False
+    rotate_round = None
     while args and args[0].startswith("--"):
         if args[0] == "--json":
             json_out = args[1]
@@ -153,10 +154,29 @@ def main() -> int:
         elif args[0] == "--tiered":
             tiered = True
             args = args[1:]
+        elif args[0] == "--rotate-sample":
+            # Driver-shaped ROTATING 50-query sample (VERDICT r11 #6):
+            # the driver's CORRECTNESS_r{N}.json has sampled the SAME 50
+            # keys since r10, leaving ~140 registry entries with no
+            # driver-format evidence.  --rotate-sample N selects a
+            # deterministic 50-key window into the sorted registry at
+            # offset (N*50) mod len (wrapping), so consecutive rounds
+            # cover the whole registry every ceil(215/50)=5 rounds.
+            rotate_round = int(args[1])
+            args = args[2:]
         else:
             raise SystemExit(f"unknown flag {args[0]!r}")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if rotate_round is not None:
+        keys = sorted(QUERIES)
+        off = (rotate_round * 50) % len(keys)
+        window = (keys + keys)[off : off + 50]
+        only = set(window) | only
+        print(
+            f"rotating sample round={rotate_round}: offset {off}, "
+            f"{len(window)} keys {window[0]}..{window[-1]}"
+        )
     unknown = only - set(QUERIES)
     if unknown:
         # a typo'd (or misplaced-flag) name must not silently report a
