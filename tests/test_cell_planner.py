@@ -126,6 +126,40 @@ def test_adaptive_stats_report_plan_and_fine_geometry(spark, monkeypatch):
     assert stats["fine_admit_rate"] < 0.5
 
 
+def test_kmeanspp_covers_separated_clusters(spark):
+    """r12 regression pin for the d=1024 diagnosis: uniform sample-point
+    init left ~14% of well-separated clusters with no centroid, and the
+    orphans' points landed on far foreign cells, blowing up those
+    cells' angular radii (first CLUSTERED_DIM1024_r12 attempt read
+    fine-grid admit_rate RISING with n and e=1.525).  With k-means++
+    (D²) seeding every tight cluster must end up served by a nearby
+    centroid: after assignment, every vector's angle to its centroid
+    stays far below the cross-cluster gap."""
+    from crawling_vectordb_llm_spark.operators import ivf as I
+    from crawling_vectordb_llm_spark.sources.synthetic_embeddings import (
+        clustered_embeddings,
+    )
+
+    # 24 well-separated tight clusters, k = 2x clusters (the adaptive
+    # sizing regime); d=48 keeps random centers near-orthogonal
+    df = clustered_embeddings(spark, 1_200, dim=48, k=24, sigma=0.10, seed=5)
+    cents = I.kmeans_centroids(df, 48, "embedding", seed=42)
+    assigned = I.assign_centroids(df, cents, "vec_id", "embedding")
+    # max angle to assigned centroid across the whole corpus
+    rows = assigned.collect()
+    worst = 0.0
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        c = cents[
+            int(np.argmax(cents @ v))
+        ]  # assign_centroids picks argmax cosine
+        worst = max(worst, float(np.arccos(np.clip(v @ c, -1, 1))))
+    # tight clusters: sigma=0.10 -> in-cluster angle ~0.1 rad; orphaned
+    # clusters would read ~pi/2 (near-orthogonal foreign centroid)
+    assert worst < 0.5, worst
+
+
 def test_admit_guardrail_warns_on_structure_free_corpus(spark, monkeypatch):
     """Structure-free corpus past the size bound: the prune admits
     ~everything, and the operator must SAY so — warning + stats entry
