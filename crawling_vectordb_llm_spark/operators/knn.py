@@ -387,6 +387,7 @@ def topk_similarity_self_join(
     brute_max_rows: int = BRUTE_TOPK_MAX_ROWS,
     n_cells: "int | None" = None,
     gemm_prefilter: bool = True,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """BOUNDED-OUTPUT similarity self-join (VERDICT r6 #1): for every item,
     its top-k cosine neighbors with score >= tau — the scale-safe emission
@@ -482,7 +483,12 @@ def topk_similarity_self_join(
             item_col=item_col,
             neighbor_col=neighbor_col,
             gemm_prefilter=gemm_prefilter,
+            stats_out=stats_out,
         )
+    if stats_out is not None:
+        # the brute arm has no prune plan to report, but a caller
+        # branching on the telemetry should still learn which arm ran
+        stats_out.update(n=n, strategy="brute")
     if n_blocks is None:
         n_blocks = _pick_blocks(
             n, block_target_rows, spark.sparkContext.defaultParallelism

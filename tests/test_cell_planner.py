@@ -61,6 +61,59 @@ def test_plan_cell_grid_coarsens_on_structure_free_geometry():
     assert st["plan_replicated_rows"] == n * P
 
 
+def test_plan_cell_grid_picks_mid_ladder_on_mixed_geometry():
+    """VERDICT r12 #4 done-criterion: a half-clustered/half-diffuse
+    corpus must get a MIDDLE option — the structure-aware admit-pattern
+    rungs merge the mutually-admitting diffuse cells while keeping the
+    clustered cells fine, with measured cost strictly below BOTH
+    extremes (the modulo ladder could only ever choose fine vs coarse:
+    modulo merges unrelated cells, so every mid rung admitted nearly as
+    much as the coarse end)."""
+    kf = 32
+    counts = np.full(kf, 3_000.0)
+    # cells 0..15: tight clusters (admit self only); 16..31: diffuse
+    # (big radii — admit every pair they participate in)
+    admit = np.zeros((kf, kf), dtype=bool)
+    np.fill_diagonal(admit, True)
+    admit[16:, :] = True
+    admit[:, 16:] = True
+    group, P, st = I._plan_cell_grid(counts, admit, 65_536, p_floor=4)
+    assert 4 < P < kf, P
+    assert st["plan_grouping"] == "admit_pattern"
+    # fine extreme: every diffuse cell replicates to all 32 blocks
+    _, _, fine_cost = I._grid_cost(
+        counts, admit, np.arange(kf), kf, 65_536
+    )
+    # coarse extreme: every group mixes in a diffuse cell -> admits all
+    _, _, coarse_cost = I._grid_cost(
+        counts, admit, np.arange(kf) % 4, 4, 65_536
+    )
+    assert st["plan_cost"] < fine_cost
+    assert st["plan_cost"] < coarse_cost
+    # the chosen grouping keeps clustered cells out of the diffuse
+    # blob: at least 8 groups hold exactly one clustered cell
+    clustered_groups = group[:16]
+    diffuse_groups = set(group[16:].tolist())
+    solo = sum(
+        1
+        for g in np.unique(clustered_groups)
+        if (clustered_groups == g).sum() <= 2 and g not in diffuse_groups
+    )
+    assert solo >= 8, (group, solo)
+
+
+def test_grid_cost_penalizes_single_task_plans():
+    """The parallelism-deficit term: collapsing a structure-free corpus
+    into one mono-group minimizes shuffle but serializes all the GEMM
+    work onto one task — the model must not pick it (PLAN_MIN_TASKS)."""
+    kf = 16
+    counts = np.full(kf, 4_000.0)
+    admit = np.ones((kf, kf), dtype=bool)
+    _, _, mono = I._grid_cost(counts, admit, np.zeros(kf, dtype=int), 1, 65_536)
+    _, _, coarse = I._grid_cost(counts, admit, np.arange(kf) % 8, 8, 65_536)
+    assert coarse < mono
+
+
 def test_plan_cell_grid_respects_p_floor_above_fine_k():
     # degenerate: fine grid already at/below the coarse floor — identity
     counts = np.array([100.0, 120.0, 80.0])
@@ -192,6 +245,113 @@ def test_admit_guardrail_silent_below_size_bound(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         I.ivf_pruned_threshold_join(df, tau=0.1, n_cells=4).count()
+
+
+def test_segment_sums_exact_under_trailing_empty_cells():
+    """ADVICE r12 regression pin: np.add.reduceat clipped trailing empty
+    cells' start indices to len(x)-1, truncating the LAST non-empty
+    segment's sum (verified [10,12] where [18,21] was expected).  The
+    prefix-sum-differencing _segment_sums must be exact for every
+    empty/trailing-empty layout."""
+    rng = np.random.default_rng(7)
+    for counts in (
+        [3, 0, 2, 0, 0],          # trailing empties after a 2-row segment
+        [0, 4],                   # leading empty
+        [5],                      # single segment
+        [0, 0, 3],                # multiple leading empties
+        [2, 0, 0],                # the advice's shape: last rows at risk
+    ):
+        counts = np.array(counts, dtype=np.int64)
+        n = int(counts.sum())
+        x = rng.standard_normal((n, 3))
+        starts = np.zeros(len(counts), dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        got = I._segment_sums(x, starts, counts)
+        exp = np.array(
+            [x[s : s + c].sum(axis=0) for s, c in zip(starts, counts)]
+        )
+        assert np.allclose(got, exp, atol=1e-9), (counts, got, exp)
+
+
+def test_kmeans_centroids_correct_with_trailing_empty_cells(spark):
+    """End-to-end pin for the same bug through kmeans_centroids: ask for
+    more centroids than distinct directions so Lloyd iterations run with
+    trailing empty cells — every returned centroid must sit on one of
+    the two true directions (the reduceat bug corrupted the LAST
+    non-empty cell's centroid whenever trailing cells were empty)."""
+    rows = []
+    for i in range(12):
+        base = [1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0]
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = I.kmeans_centroids(df, 8, "embedding", seed=1, max_iter=6)
+    e1 = np.array([1.0, 0.0, 0.0])
+    e2 = np.array([0.0, 1.0, 0.0])
+    for c in cents:
+        assert (
+            np.allclose(c, e1, atol=1e-9) or np.allclose(c, e2, atol=1e-9)
+        ), c
+
+
+def test_stats_out_reachable_through_topk_form(spark, monkeypatch):
+    """VERDICT r12 #3: the near-dup pipelines reach the prune through the
+    TOP-K form, so plan telemetry (and the guardrail) must land through
+    ivf_pruned_topk_join and topk_similarity_self_join's IVF arm too —
+    not only the threshold form."""
+    from crawling_vectordb_llm_spark.operators.knn import (
+        topk_similarity_self_join,
+    )
+
+    monkeypatch.setattr(I, "ADMIT_WARN_MIN_ROWS", 100)
+    rng = np.random.default_rng(9)
+    rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in enumerate(rng.standard_normal((150, 8)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats: dict = {}
+    with pytest.warns(RuntimeWarning):
+        I.ivf_pruned_topk_join(
+            df, tau=0.1, k=3, n_cells=4, stats_out=stats
+        ).count()
+    assert "guardrail" in stats
+    assert stats["n"] == 150 and stats["fine_cells"] == 4
+    assert stats["admit_rate"] > 0
+
+    stats2: dict = {}
+    with pytest.warns(RuntimeWarning):
+        topk_similarity_self_join(
+            df, k=3, tau=0.1, strategy="ivf", n_cells=4, stats_out=stats2
+        ).count()
+    assert "guardrail" in stats2 and stats2["n"] == 150
+
+    # brute arm: no prune plan, but the caller learns which arm ran
+    stats3: dict = {}
+    topk_similarity_self_join(
+        df, k=3, tau=0.1, strategy="auto", stats_out=stats3
+    ).count()
+    assert stats3 == {"n": 150, "strategy": "brute"}
+
+
+def test_guardrail_suggests_adaptive_before_approximate_ladder(spark, monkeypatch):
+    """ADVICE r12: with an explicit COARSE n_cells the high admit rate
+    may just mean the grid is too coarse — the warning must steer to
+    n_cells=None FIRST, before the approximate ladder."""
+    monkeypatch.setattr(I, "ADMIT_WARN_MIN_ROWS", 100)
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in enumerate(rng.standard_normal((150, 8)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats: dict = {}
+    with pytest.warns(RuntimeWarning, match="n_cells=None"):
+        I.ivf_pruned_threshold_join(
+            df, tau=0.1, n_cells=4, stats_out=stats
+        ).count()
+    assert "try n_cells=None" in stats["guardrail"]
+    # the original ladder guidance must still follow the suggestion
+    assert "recall-gated approximate ladder" in stats["guardrail"]
 
 
 def test_explicit_n_cells_keeps_fixed_grid(spark):
