@@ -59,7 +59,24 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 # 2048 cells and the per-cell row count grows — the documented trade).
 ADAPTIVE_CELL_TARGET_ROWS = 320
 ADAPTIVE_CELL_FLOOR = 16
-ADAPTIVE_CELL_CAP = 2_048
+# r13 (VERDICT r12 #2): the adaptive cap is raised 2048 -> 8192 and the
+# regime ABOVE the old cap runs a HIERARCHICAL (two-level) fit +
+# two-step assignment — per-parent fine fits train DISTRIBUTED
+# (applyInPandas; only k·d centroid floats return to the driver, so the
+# old ~1 GiB sample collect at cap×d=1024 is gone from this regime) and
+# assignment costs n·(√k + k/√k)·d instead of n·k·d.  k <= FLAT_CELL_CAP
+# keeps the r8-r12 flat driver-side fit bit-for-bit, so every existing
+# fixture/artifact geometry is unchanged.  The remaining cap-8192 bounds
+# the driver-side O(k²) admission matrix / planner (537 MB bools + a few
+# k² passes per ladder rung) — past ~2.6M rows per fit, per-cell size
+# grows again (the documented trade, now 4× later than r12).
+ADAPTIVE_CELL_CAP = 8_192
+FLAT_CELL_CAP = 2_048
+# coarse parents probed per row in the hierarchical two-step assignment
+# (see _ivf_pruned_replicated): 4 reproduced flat-assignment admit rates
+# exactly in the 120k diagnostic; 8 buys boundary margin at ~2× the fine
+# GEMM term, still ~10× under flat argmax at the cap
+HIER_ASSIGN_PROBES = 8
 
 # Cost-model constant for the grid planner: one replicated row costs
 # about as much as this many admitted candidate pairs.  Measured at the
@@ -92,10 +109,11 @@ ADMIT_GUARDRAIL_MSG = (
 
 def adaptive_cell_count(n: int) -> int:
     """Default fine-grid cell count for the exact pruned self-joins:
-    k = clamp(n // 320, 16, 2048) — cluster count grows with the corpus
+    k = clamp(n // 320, 16, 8192) — cluster count grows with the corpus
     so per-cell size stays ~constant and cluster structure keeps being
     convertible into skipped blocks at any scale (see module constants
-    above for the derivation and the floor/cap rationale)."""
+    above for the derivation and the floor/cap rationale; above
+    FLAT_CELL_CAP the fit/assignment go hierarchical, r13)."""
     return max(
         ADAPTIVE_CELL_FLOOR,
         min(ADAPTIVE_CELL_CAP, n // ADAPTIVE_CELL_TARGET_ROWS),
@@ -132,11 +150,9 @@ def _grid_cost(
     model_cost additionally scales the cand term by the parallelism
     deficit max(1, min_tasks/tasks) — see PLAN_MIN_TASKS (r13)."""
     P = n_groups
-    G = np.zeros((len(counts), P))
-    G[np.arange(len(counts)), group] = 1.0
-    S = (G.T @ (admit.astype(np.float64) @ G)) > 0.5  # super-pair admission
+    S = _group_or(admit, group, P)  # super-pair admission (OR over members)
     np.fill_diagonal(S, True)  # a block with itself is always admissible
-    M = counts @ G  # rows per super-block
+    M = np.bincount(group, weights=counts, minlength=P)  # rows per super-block
     s_off = S & ~np.eye(P, dtype=bool)
     cand = 0.5 * float(M @ (s_off @ M)) + float((M * (M - 1) / 2).sum())
     nsub = np.maximum(1, np.ceil(M / max_cell_rows))
@@ -186,6 +202,7 @@ def _plan_cell_grid(
     max_cell_rows: int,
     p_floor: int,
     seed: int = 42,
+    parent: "np.ndarray | None" = None,
 ) -> tuple[np.ndarray, int, dict]:
     """Choose the grid granularity for the pruned join by MEASURED cost,
     not by fiat: evaluate the fine grid and a halving ladder of
@@ -216,17 +233,29 @@ def _plan_cell_grid(
         ladder.append(p)
         p = max(p_floor, p // 2)
     ladder.append(max(1, min(p_floor, kf)))
-    best = None
+    rungs: list[tuple[str, np.ndarray, int]] = []
     for P in ladder:
-        cands = [("modulo", np.arange(kf) % P)]
-        if P < kf:
-            cands.append(("admit_pattern", _admit_pattern_groups(admit, P, seed)))
-        for how, group in cands:
-            cand, repl, cost = _grid_cost(
-                counts, admit, group, P, max_cell_rows
+        rungs.append(("modulo", np.arange(kf) % P, P))
+        if P < kf and kf <= FLAT_CELL_CAP:
+            # admit-pattern k-means is O(kf²·P) per rung — cheap below
+            # the flat cap, a multi-minute driver stall above it (the
+            # hierarchical regime gets its structure rung from the
+            # parent grouping below instead)
+            rungs.append(
+                ("admit_pattern", _admit_pattern_groups(admit, P, seed), P)
             )
-            if best is None or cost < best[3]:
-                best = (group, P, cand, cost, repl, how)
+    if parent is not None:
+        # hierarchical fit (r13): merging fine cells back into their
+        # coarse PARENTS is the natural structure-aware rung — siblings
+        # are geometric neighbors by construction, so the merge only
+        # fuses mutually-close (usually mutually-admitting) cells
+        pg = np.unique(parent, return_inverse=True)[1]
+        rungs.append(("parent", pg, int(pg.max()) + 1))
+    best = None
+    for how, group, P in rungs:
+        cand, repl, cost = _grid_cost(counts, admit, group, P, max_cell_rows)
+        if best is None or cost < best[3]:
+            best = (group, P, cand, cost, repl, how)
     group, P, cand, cost, repl, how = best
     # compact labels: k-means groupings can leave empty groups, which
     # would otherwise spawn empty (zero-row) block tasks downstream
@@ -302,11 +331,27 @@ def _segment_sums(x_sorted: np.ndarray, starts: np.ndarray, counts: np.ndarray) 
     in [start_i, start_i + count_i) for every segment including empty
     ones (count 0 → a zero row).  Deterministic for a fixed row order
     (cumsum is a fixed left-to-right accumulation)."""
+    dt = x_sorted.dtype if x_sorted.dtype.kind == "f" else np.float64
     csum = np.vstack(
-        [np.zeros((1, x_sorted.shape[1]), dtype=np.float64),
-         np.cumsum(x_sorted, axis=0, dtype=np.float64)]
+        [np.zeros((1, x_sorted.shape[1]), dtype=dt),
+         np.cumsum(x_sorted, axis=0, dtype=dt)]
     )
     return csum[starts + counts] - csum[starts]
+
+
+def _group_or(admit: np.ndarray, group: np.ndarray, P: int) -> np.ndarray:
+    """OR-aggregate a kf×kf boolean matrix over a row/col grouping into
+    the P×P super-pair admission matrix, in O(kf²) — the dense kf×P
+    indicator matmul this replaces (r13) was O(kf²·P), which at the
+    raised cell cap (kf up to 8192) made every planner rung a multi-
+    second driver GEMM.  Sums are exact in f32 (each ≤ kf < 2²⁴)."""
+    order = np.argsort(group, kind="stable")
+    counts = np.bincount(group, minlength=P)
+    starts = np.zeros(P, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    rows = _segment_sums(admit[order].astype(np.float32), starts, counts) > 0.5
+    s_t = _segment_sums(rows.T[order].astype(np.float32), starts, counts) > 0.5
+    return s_t.T
 
 
 def _kmeanspp_init(x: np.ndarray, k: int, rng) -> np.ndarray:
@@ -382,6 +427,14 @@ def kmeans_centroids(
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     rng = np.random.default_rng(seed)
     cents = _kmeanspp_init(x, min(n_centroids, len(x)), rng)
+    return _lloyd_sphere(x, cents, max_iter)
+
+
+def _lloyd_sphere(x: np.ndarray, cents: np.ndarray, max_iter: int) -> np.ndarray:
+    """Vectorized spherical Lloyd iterations over unit rows — the shared
+    fit kernel for the driver-side flat fit and the executor-side
+    per-parent fits of the hierarchical path (r13).  Deterministic for a
+    fixed (x row order, cents)."""
     k = len(cents)
     for _ in range(max_iter):
         assign = np.argmax(x @ cents.T, axis=1)
@@ -425,6 +478,123 @@ def kmeans_centroids_ml(
     feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
     return _normalize(np.array(model.clusterCenters(), dtype=np.float64))
+
+
+def kmeans_centroids_hier(
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    points_per_cell: int = 64,
+    coarse_k: "int | None" = None,
+    n: "int | None" = None,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """TWO-LEVEL centroid fit for cell counts past FLAT_CELL_CAP (r13,
+    VERDICT r12 #2) — the IVF-within-IVF the flat fit can't reach:
+
+      level 1: a small driver-side fit of ~√k COARSE parents (the
+               existing bounded-sample kmeans_centroids path);
+      level 2: the training sample stays DISTRIBUTED — one mapInPandas
+               pass tags each sampled vector with its parent, then one
+               applyInPandas task PER PARENT runs the same k-means++ +
+               spherical-Lloyd kernel on its own rows for its share of
+               the k fine cells (largest-remainder allocation ∝ parent
+               sample mass).  Only the k·d centroid floats are ever
+               collected — the flat path's 64·k·d·8-byte sample collect
+               (~1 GiB at k=2048, d=1024) does not exist here, and the
+               fit compute runs on the executors.
+
+    Returns (fine_centroids sorted by parent, parent_of_fine, coarse):
+    fine is the L2-normalized (≤k)×d matrix, parent_of_fine[i] the
+    coarse parent that trained fine cell i (the planner's natural
+    merge-to-parents rung), coarse the level-1 matrix — together they
+    let assignment run TWO-STEP (argmax over √k parents, then argmax
+    over that parent's fine cells: n·(√k + k/√k)·d instead of n·k·d,
+    which at k ∝ n is the difference between O(n^1.5) and O(n²)
+    assignment flops).  A two-step assignment need not be the global
+    argmax near parent boundaries; exactness NEVER depends on that
+    (radii are computed from the actual assignment), only prune
+    tightness does, and only marginally.  Deterministic for a fixed
+    seed and sample layout (per-parent rng seeded by (seed, parent);
+    rows value-sorted before each fit, the bounded_random_sample
+    contract)."""
+    spark = corpus.sparkSession
+    if n is None:
+        n = corpus.count()
+    k = max(1, min(k, n))
+    if coarse_k is None:
+        coarse_k = max(ADAPTIVE_CELL_FLOOR, int(np.ceil(np.sqrt(k))))
+    coarse = kmeans_centroids(
+        corpus, coarse_k, vec_col, seed=seed, max_iter=max_iter,
+        sample_limit=max(10_000, points_per_cell * coarse_k),
+    )
+    bc = spark.sparkContext.broadcast(coarse)
+
+    target = min(n, max(10_000, points_per_cell * k))
+    frac = min(1.0, 1.2 * target / max(n, 1))
+    samp = corpus.select(vec_col).sample(fraction=frac, seed=seed)
+
+    def _tag_parent(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            yield pd.DataFrame(
+                {
+                    "__parent": np.argmax(mat @ cents.T, axis=1).astype(np.int32),
+                    "__v": pdf[vec_col],
+                }
+            )
+
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    tagged = samp.mapInPandas(
+        _tag_parent, schema=f"__parent int, __v {vec_t}"
+    ).localCheckpoint(eager=False)
+
+    # largest-remainder allocation of the k fine cells over parents,
+    # ∝ parent sample mass (k_c counts on the driver — nothing else)
+    mass = {
+        int(r["__parent"]): int(r["n"])
+        for r in tagged.groupBy("__parent").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(mass.values())
+    quota = {p: k * m / total for p, m in mass.items()}
+    alloc = {p: max(1, int(q)) for p, q in quota.items()}
+    leftover = k - sum(alloc.values())
+    if leftover > 0:
+        by_frac = sorted(
+            quota, key=lambda p: (quota[p] - int(quota[p]), p), reverse=True
+        )
+        for p in by_frac[:leftover]:
+            alloc[p] += 1
+    bc_alloc = spark.sparkContext.broadcast(alloc)
+
+    def _fit_parent(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        p = int(key[0])
+        ki = bc_alloc.value.get(p, 1)
+        x = _normalize(np.array(list(pdf["__v"]), dtype=np.float64))
+        x = x[np.lexsort(x.T)]  # pin row order: fit is a function of the SET
+        rng = np.random.default_rng([seed, p])
+        cents = _lloyd_sphere(x, _kmeanspp_init(x, min(ki, len(x)), rng), max_iter)
+        return pd.DataFrame(
+            {
+                "parent": np.full(len(cents), p, dtype=np.int32),
+                "ordinal": np.arange(len(cents), dtype=np.int32),
+                "centroid": [c for c in cents],
+            }
+        )
+
+    rows = (
+        tagged.groupBy("__parent")
+        .applyInPandas(_fit_parent, schema="parent int, ordinal int, centroid array<double>")
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["parent"], r["ordinal"]))
+    fine = _normalize(np.array([r["centroid"] for r in rows], dtype=np.float64))
+    parent_of = np.array([r["parent"] for r in rows], dtype=np.int32)
+    return fine, parent_of, coarse
 
 
 def assign_centroids(
@@ -734,7 +904,17 @@ def _ivf_pruned_replicated(
     if adaptive:
         n_cells = adaptive_cell_count(n)
     k = max(1, min(n_cells, n))
-    if centroids is None:
+    hier: "tuple[np.ndarray, np.ndarray] | None" = None
+    if centroids is None and k > FLAT_CELL_CAP:
+        # past the flat cap (r13, VERDICT r12 #2): two-level fit with
+        # DISTRIBUTED per-parent training and two-step assignment —
+        # n·(√k + k/√k)·d assignment flops instead of n·k·d, and no
+        # large sample collect on the driver (kmeans_centroids_hier)
+        centroids, parent_of, coarse_c = kmeans_centroids_hier(
+            corpus, k, vec_col, seed=seed, max_iter=8, n=n,
+        )
+        hier = (coarse_c, parent_of)
+    elif centroids is None:
         # Cell centroids are a PARTITIONING device, not a quantizer:
         # exactness never depends on them (radii are computed from the
         # actual assignment, and the triangle bound is evaluated on
@@ -753,25 +933,82 @@ def _ivf_pruned_replicated(
             sample_limit=max(10_000, 64 * k),
         )
     k = centroids.shape[0]
-    bc = spark.sparkContext.broadcast(centroids)
+    if hier is None:
+        bc = spark.sparkContext.broadcast(centroids)
 
-    def _assign_theta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
-            sims = mat @ cents.T
-            cid = np.argmax(sims, axis=1)
-            theta = np.arccos(np.clip(sims[np.arange(len(cid)), cid], -1.0, 1.0))
-            yield pd.DataFrame(
-                {
-                    "__id": pdf[id_col],
-                    "__v": pdf[vec_col],
-                    "__cell": cid.astype(np.int32),
-                    "__theta": theta,
-                }
-            )
+        def _assign_theta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cents = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+                sims = mat @ cents.T
+                cid = np.argmax(sims, axis=1)
+                theta = np.arccos(np.clip(sims[np.arange(len(cid)), cid], -1.0, 1.0))
+                yield pd.DataFrame(
+                    {
+                        "__id": pdf[id_col],
+                        "__v": pdf[vec_col],
+                        "__cell": cid.astype(np.int32),
+                        "__theta": theta,
+                    }
+                )
+    else:
+        # TWO-STEP MULTI-PROBE assignment (r13): rank the √k coarse
+        # parents per row, fine-argmax within the UNION of the top
+        # HIER_ASSIGN_PROBES parents' fine blocks —
+        # n·(√k + probes·k/√k)·d flops instead of n·k·d (~10× cheaper
+        # at the cap).  Single-probe routing is NOT enough: a tight
+        # cluster sitting on a coarse boundary sends a few members to a
+        # foreign parent whose fine cells are all far away, and those
+        # strays fatten that cell's radius until it admits everything
+        # (measured at 700k/d=64: single-probe fine admit_rate 0.123 vs
+        # 0.005 for flat assignment; 4-probe reproduced the flat rate
+        # exactly at 120k).  Exactness never depends on the routing —
+        # radii are computed from the ACTUAL assignment and the
+        # triangle bound is evaluated on those — only prune tightness
+        # does.
+        coarse_c, parent_of = hier
+        p_used = np.unique(parent_of)
+        p_starts = np.searchsorted(parent_of, p_used)
+        p_counts = np.searchsorted(parent_of, p_used, side="right") - p_starts
+        n_probe_assign = min(HIER_ASSIGN_PROBES, len(p_used))
+        bc = spark.sparkContext.broadcast(
+            (coarse_c[p_used], centroids, p_starts, p_counts, n_probe_assign)
+        )
+
+        def _assign_theta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            coarse_m, fine_m, starts_, counts_, m_probe = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+                sims_c = mat @ coarse_m.T
+                probes = np.argsort(-sims_c, axis=1)[:, :m_probe]
+                best_s = np.full(len(mat), -2.0)
+                best_i = np.zeros(len(mat), dtype=np.int64)
+                for r in range(probes.shape[1]):
+                    pj = probes[:, r]
+                    for j in np.unique(pj):
+                        m = pj == j
+                        blk = fine_m[starts_[j] : starts_[j] + counts_[j]]
+                        s = mat[m] @ blk.T
+                        loc = np.argmax(s, axis=1)
+                        sv = s[np.arange(len(loc)), loc]
+                        bi, bs = best_i[m], best_s[m]
+                        upd = sv > bs
+                        bi[upd] = starts_[j] + loc[upd]
+                        bs[upd] = sv[upd]
+                        best_i[m], best_s[m] = bi, bs
+                theta = np.arccos(np.clip(best_s, -1.0, 1.0))
+                yield pd.DataFrame(
+                    {
+                        "__id": pdf[id_col],
+                        "__v": pdf[vec_col],
+                        "__cell": best_i.astype(np.int32),
+                        "__theta": theta,
+                    }
+                )
 
     id_t = corpus.schema[id_col].dataType.simpleString()
     vec_t = corpus.schema[vec_col].dataType.simpleString()
@@ -843,44 +1080,46 @@ def _ivf_pruned_replicated(
             counts, admit, max_cell_rows,
             p_floor=_grid_p_floor(n, max_cell_rows, spark),
             seed=seed,
+            parent=hier[1][cells] if hier is not None else None,
         )
     else:
         group, n_groups, plan_stats = ident, kf, {}
 
     # executed grid: super-block pair admission is the OR over member
     # fine-cell pairs (identity grouping = the fine grid itself)
-    G = np.zeros((kf, n_groups))
-    G[ident, group] = 1.0
-    S = (G.T @ (admit.astype(np.float64) @ G)) > 0.5
+    S = _group_or(admit, group, n_groups)
     np.fill_diagonal(S, True)
-    M = counts @ G
+    M = np.bincount(group, weights=counts, minlength=n_groups)
     # oversized blocks hash-split into sub-blocks (skew guard)
-    n_subs = [max(1, -(-int(M[i]) // max_cell_rows)) for i in range(n_groups)]
+    n_subs = np.maximum(1, -(-M.astype(np.int64) // max_cell_rows))
 
-    # admissible (node_a, node_b) pairs: (group, sub, pk, role) rows
+    # admissible (node_a, node_b) pairs: (group, sub, pk, role) rows —
+    # iterate only the ADMITTED upper-triangle pairs (r13: the full
+    # n_groups² Python loop was a 43M-iteration driver stall at the
+    # raised cell cap; whenever n_groups is large the admission is
+    # sparse — that's why the planner kept it large)
+    adm_pairs = np.argwhere(np.triu(S))
+    gi_a, gj_a = adm_pairs[:, 0], adm_pairs[:, 1]
+    d_mask = gi_a == gj_a
+    Mi, Mj = M[gi_a].astype(np.int64), M[gj_a].astype(np.int64)
+    cand = int((Mi[d_mask] * (Mi[d_mask] - 1) // 2).sum()) + int(
+        (Mi[~d_mask] * Mj[~d_mask]).sum()
+    )
     pair_rows: list[tuple[int, int, int, str]] = []
     diag_pks: set[int] = set()
     pk = 0
-    cand = 0
-    for gi in range(n_groups):
-        for gj in range(gi, n_groups):
-            if not S[gi, gj]:
-                continue  # provably no qualifying pair across these blocks
-            cand += (
-                int(M[gi]) * (int(M[gi]) - 1) // 2
-                if gi == gj
-                else int(M[gi]) * int(M[gj])
-            )
-            for si in range(n_subs[gi]):
-                sj_start = si if gi == gj else 0
-                for sj in range(sj_start, n_subs[gj]):
-                    diagonal = gi == gj and si == sj
-                    pair_rows.append((gi, si, pk, "a"))
-                    if diagonal:
-                        diag_pks.add(pk)
-                    else:
-                        pair_rows.append((gj, sj, pk, "b"))
-                    pk += 1
+    for gi, gj in adm_pairs:
+        gi, gj = int(gi), int(gj)
+        for si in range(n_subs[gi]):
+            sj_start = si if gi == gj else 0
+            for sj in range(sj_start, n_subs[gj]):
+                diagonal = gi == gj and si == sj
+                pair_rows.append((gi, si, pk, "a"))
+                if diagonal:
+                    diag_pks.add(pk)
+                else:
+                    pair_rows.append((gj, sj, pk, "b"))
+                pk += 1
     pairs_df = spark.createDataFrame(
         pair_rows, "__grp int, __sub int, __pk int, __role string"
     )
@@ -906,11 +1145,12 @@ def _ivf_pruned_replicated(
     )
 
     if stats_out is not None:
-        total_blocks = sum(
-            n_subs[gi] * n_subs[gj] if gi != gj
-            else n_subs[gi] * (n_subs[gi] + 1) // 2
-            for gi in range(n_groups)
-            for gj in range(gi, n_groups)
+        # all upper-triangle block counts, closed form (r13: the old
+        # O(n_groups²) generator was a driver stall at the raised cap)
+        ns_tot = int(n_subs.sum())
+        ns_sq = int((n_subs.astype(np.int64) ** 2).sum())
+        total_blocks = (ns_tot * ns_tot - ns_sq) // 2 + int(
+            (n_subs.astype(np.int64) * (n_subs.astype(np.int64) + 1) // 2).sum()
         )
         stats_out.update(
             n=n,

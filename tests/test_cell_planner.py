@@ -27,8 +27,11 @@ def test_adaptive_cell_count_rule():
     # the SemDeDup k ∝ n recipe)
     assert I.adaptive_cell_count(60_000) == 187
     assert I.adaptive_cell_count(180_000) == 562
-    # cap: driver-side fit and O(k²) admission matrix stay bounded
-    assert I.adaptive_cell_count(10_000_000) == 2_048
+    # cap: the O(k²) admission matrix / planner stay bounded (raised
+    # 2048 -> 8192 in r13 — the hierarchical fit regime past the old
+    # flat cap; fit/assignment above FLAT_CELL_CAP are two-level)
+    assert I.adaptive_cell_count(1_000_000) == 3_125
+    assert I.adaptive_cell_count(10_000_000) == 8_192
 
 
 def test_plan_cell_grid_keeps_fine_grid_on_clustered_geometry():
@@ -211,6 +214,69 @@ def test_kmeanspp_covers_separated_clusters(spark):
     # tight clusters: sigma=0.10 -> in-cluster angle ~0.1 rad; orphaned
     # clusters would read ~pi/2 (near-orthogonal foreign centroid)
     assert worst < 0.5, worst
+
+
+def test_hier_fit_shape_and_determinism(spark, monkeypatch):
+    """kmeans_centroids_hier (r13): fine centroids sorted by parent,
+    unit-norm, ≤k of them; parents index into the coarse matrix; the
+    whole fit is deterministic for a fixed seed."""
+    df, _ = _clustered_df(spark)
+    fine, parent, coarse = I.kmeans_centroids_hier(
+        df, 24, "embedding", seed=3, coarse_k=6
+    )
+    assert coarse.shape[0] == 6
+    assert 1 <= fine.shape[0] <= 24
+    assert fine.shape == (len(parent), 16)
+    assert np.all(np.diff(parent) >= 0)  # sorted by parent
+    assert parent.min() >= 0 and parent.max() < 6
+    assert np.allclose(np.linalg.norm(fine, axis=1), 1.0, atol=1e-9)
+    fine2, parent2, coarse2 = I.kmeans_centroids_hier(
+        df, 24, "embedding", seed=3, coarse_k=6
+    )
+    assert np.array_equal(parent, parent2)
+    assert np.allclose(fine, fine2, atol=0)
+    assert np.allclose(coarse, coarse2, atol=0)
+
+
+def test_hier_path_exact_through_planner(spark, monkeypatch):
+    """Force the hierarchical regime (two-level fit, two-step assignment,
+    parent rung in the planner) at fixture scale by shrinking
+    FLAT_CELL_CAP: the bounded join must still match brute force
+    EXACTLY — the hier machinery only changes which cell a vector lands
+    in, never the triangle-bound admission soundness (radii are computed
+    from the actual assignment)."""
+    from tests.test_topk_join import _expected
+
+    monkeypatch.setattr(I, "ADAPTIVE_CELL_TARGET_ROWS", 20)
+    monkeypatch.setattr(I, "FLAT_CELL_CAP", 8)
+    df, mat = _clustered_df(spark)
+    assert I.adaptive_cell_count(480) == 24  # > patched flat cap -> hier
+    stats: dict = {}
+    exp = _expected(mat, k=4, tau=0.6)
+    got = {
+        (r["item_id"], r["neighbor_id"], r["rank"], r["score"])
+        for r in I.ivf_pruned_topk_join(
+            df, tau=0.6, k=4, stats_out=stats
+        ).collect()
+    }
+    assert got == exp
+    assert stats["fine_cells"] <= 24
+    # the planner saw the parent rung (ladder stats present either way)
+    assert "plan_grouping" in stats
+
+
+def test_hier_threshold_join_identical_to_flat(spark, monkeypatch):
+    """Planner-identity across fit regimes: the hierarchical default and
+    an explicit flat grid must produce bit-identical threshold-join
+    output (both are exact; only prune efficiency may differ)."""
+    monkeypatch.setattr(I, "ADAPTIVE_CELL_TARGET_ROWS", 20)
+    monkeypatch.setattr(I, "FLAT_CELL_CAP", 8)
+    df, _ = _clustered_df(spark)
+    hier_out = I.ivf_pruned_threshold_join(df, tau=0.6)
+    flat_out = I.ivf_pruned_threshold_join(df, tau=0.6, n_cells=24)
+    assert hier_out.exceptAll(flat_out).count() == 0
+    assert flat_out.exceptAll(hier_out).count() == 0
+    assert hier_out.count() > 0
 
 
 def test_admit_guardrail_warns_on_structure_free_corpus(spark, monkeypatch):

@@ -74,6 +74,7 @@ def _run(df, n_cells: "int | None") -> float:
 
 
 def main() -> None:
+    global SCALES
     args = sys.argv[1:]
     reps, json_out, cells_mode, dim = 5, None, "default", 64
     while args and args[0].startswith("--"):
@@ -81,6 +82,14 @@ def main() -> None:
             reps, args = int(args[1]), args[2:]
         elif args[0] == "--json":
             json_out, args = args[1], args[2:]
+        elif args[0] == "--scales":
+            # --scales 700000,2100000 (r13, VERDICT r12 #2): the same
+            # defaults-only protocol at a scale where adaptive_cell_count
+            # exceeds the old 2048 flat cap, exercising the hierarchical
+            # fit + two-step assignment regime
+            SCALES = tuple(int(x) for x in args[1].split(","))
+            assert len(SCALES) == 2 and SCALES[0] < SCALES[1]
+            args = args[2:]
         elif args[0] == "--dim":
             # --dim 1024 (r12, VERDICT r11 #4): the clustered point at
             # the reference's operating dimension — completes the
@@ -134,8 +143,10 @@ def main() -> None:
         "tau": TAU, "k": K, "sigma": SIGMA, "cells_mode": cells_mode,
         "dim": dim,
         "rows_per_cluster": ROWS_PER_CLUSTER,
-        "protocol": "interleaved 60k<->180k, alternating order, 1 cold "
-        f"rep/side, {reps} timed reps/side, median of per-rep ratios",
+        "scales": list(SCALES),
+        "protocol": f"interleaved {SCALES[0]}<->{SCALES[1]}, alternating "
+        f"order, 1 cold rep/side, {reps} timed reps/side, median of "
+        "per-rep ratios",
         "sides": {
             str(n): {
                 "n_cells": sides[n]["n_cells"],
@@ -146,8 +157,10 @@ def main() -> None:
             }
             for n in SCALES
         },
-        "wall_ratio_180k_over_60k": round(ratio, 3),
-        "marginal_exponent": round(math.log(ratio) / math.log(3), 3),
+        "wall_ratio_hi_over_lo": round(ratio, 3),
+        "marginal_exponent": round(
+            math.log(ratio) / math.log(SCALES[1] / SCALES[0]), 3
+        ),
         "isotropic_reference": "AB_EXPONENT_SF9_r11.json (e 1.41-1.83), "
         "EXP_SF9_DIAG_r11.json (admit_rate 1.0, flop-bound)",
     }
