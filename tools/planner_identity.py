@@ -40,10 +40,16 @@ from crawling_vectordb_llm_spark.sources.synthetic_embeddings import (
     clustered_embeddings,
 )
 
-TAU, K = 0.7, 5
+K = 5
 ROWS_PER_CLUSTER = 625
 SIGMA_CLUSTERED = 0.12
 SIGMA_ISOTROPIC = 4.0  # >~1 washes cluster structure out entirely
+# per-geometry tau so the THRESHOLD form's identity check has
+# non-trivial output on both geometries: clustered keeps the published
+# 0.7 operating point (~n·cluster_size/2 output rows); isotropic d=64
+# would emit ~0 rows at 0.7 (P[cos≥0.7] ≈ Φ(-5.6)), so it runs at 0.5
+# (P ≈ Φ(-4) ≈ 3e-5 → ~60k output rows at n=60k)
+TAU = {"clustered": 0.7, "isotropic": 0.5}
 
 
 def _diff(a, b) -> dict:
@@ -86,15 +92,16 @@ def main() -> None:
             .localCheckpoint()
         )
         df.count()
-        g: dict = {"sigma": sigma}
+        tau = TAU[geom]
+        g: dict = {"sigma": sigma, "tau": tau}
         t0 = time.time()
         g["topk"] = _diff(
-            ivf_pruned_topk_join(df, tau=TAU, k=K, n_cells=None),
-            ivf_pruned_topk_join(df, tau=TAU, k=K, n_cells=16),
+            ivf_pruned_topk_join(df, tau=tau, k=K, n_cells=None),
+            ivf_pruned_topk_join(df, tau=tau, k=K, n_cells=16),
         )
         g["threshold"] = _diff(
-            ivf_pruned_threshold_join(df, tau=TAU, n_cells=None),
-            ivf_pruned_threshold_join(df, tau=TAU, n_cells=16),
+            ivf_pruned_threshold_join(df, tau=tau, n_cells=None),
+            ivf_pruned_threshold_join(df, tau=tau, n_cells=16),
         )
         g["wall_s"] = round(time.time() - t0, 1)
         out["geometries"][geom] = g
