@@ -151,8 +151,23 @@ def _grid_cost(
     deficit max(1, min_tasks/tasks) — see PLAN_MIN_TASKS (r13)."""
     P = n_groups
     S = _group_or(admit, group, P)  # super-pair admission (OR over members)
-    np.fill_diagonal(S, True)  # a block with itself is always admissible
     M = np.bincount(group, weights=counts, minlength=P)  # rows per super-block
+    return _grid_cost_ms(M, S, max_cell_rows, min_tasks)
+
+
+def _grid_cost_ms(
+    M: np.ndarray,
+    S: np.ndarray,
+    max_cell_rows: int,
+    min_tasks: int = PLAN_MIN_TASKS,
+) -> tuple[float, float, float]:
+    """_grid_cost core on a PRE-AGGREGATED (rows-per-block M, super-pair
+    admission S) — the halving-chain planner (r13, XL_PHASE_r13) builds
+    each rung's (M, S) from the previous rung in O(P_prev²) instead of
+    re-aggregating the kf² fine matrix per rung, so it calls this
+    directly.  S is mutated (diagonal forced True — always admissible)."""
+    P = len(M)
+    np.fill_diagonal(S, True)  # a block with itself is always admissible
     s_off = S & ~np.eye(P, dtype=bool)
     cand = 0.5 * float(M @ (s_off @ M)) + float((M * (M - 1) / 2).sum())
     nsub = np.maximum(1, np.ceil(M / max_cell_rows))
@@ -205,10 +220,12 @@ def _plan_cell_grid(
     parent: "np.ndarray | None" = None,
 ) -> tuple[np.ndarray, int, dict]:
     """Choose the grid granularity for the pruned join by MEASURED cost,
-    not by fiat: evaluate the fine grid and a halving ladder of
-    coarsenings down to the plain blocked grid's size — at each rung
-    BOTH a modulo grouping and a structure-aware admit-pattern grouping
-    (_admit_pattern_groups, r13) — score each with the calibrated
+    not by fiat: evaluate the fine grid, an adjacent-pair halving chain
+    of coarsenings (each rung's (M, S) derived from the previous rung —
+    geometric total cost, see the chain comment below), a modulo
+    coarse anchor at exactly p_floor (the plain blocked grid), and — in
+    the flat regime — a structure-aware admit-pattern grouping per rung
+    (_admit_pattern_groups, r13); score each with the calibrated
     cand + 350·repl model (REPL_PAIR_COST) plus the parallelism-deficit
     term (_grid_cost), and keep the argmin.  On clustered geometry the
     fine grid wins (admitted pairs collapse to ~diagonal blocks, worth
@@ -227,35 +244,70 @@ def _plan_cell_grid(
     doesn't get picked — and the OUTPUT is identical under any grouping
     (merged blocks only ever add provably-safe coverage)."""
     kf = len(counts)
-    ladder = []
-    p = kf
-    while p > max(1, p_floor):
-        ladder.append(p)
-        p = max(p_floor, p // 2)
-    ladder.append(max(1, min(p_floor, kf)))
-    rungs: list[tuple[str, np.ndarray, int]] = []
-    for P in ladder:
-        rungs.append(("modulo", np.arange(kf) % P, P))
-        if P < kf and kf <= FLAT_CELL_CAP:
+    coarse_p = max(1, min(p_floor, kf))
+    ladder = [kf]
+    best = None
+
+    def _consider(how, group, P, cms):
+        nonlocal best
+        cand, repl, cost = cms
+        if best is None or cost < best[3]:
+            best = (group, P, cand, cost, repl, how)
+
+    def _ms(group, P):
+        S = _group_or(admit, group, P)
+        M = np.bincount(group, weights=counts, minlength=P)
+        return _grid_cost_ms(M, S, max_cell_rows)
+
+    # fine rung: identity grouping — evaluated directly, no aggregation
+    _consider(
+        "fine", np.arange(kf), kf,
+        _grid_cost_ms(counts.astype(np.float64), admit.copy(), max_cell_rows),
+    )
+    # halving chain (r13, XL_PHASE_r13): pair ADJACENT blocks at each
+    # rung — (M, S) for rung r come from rung r−1 by slice-OR in
+    # O(P_{r−1}²), so the whole chain costs a geometric ~1.3·kf² bool
+    # ops instead of the old from-scratch modulo ladder's rungs·kf²
+    # f32 segment-sum passes (22.6 s of per-join driver stall at
+    # kf=6.5k).  Adjacency is structure-AWARE in the hierarchical
+    # regime — fine centroids are sorted by coarse parent, so paired
+    # cells are siblings — and no blinder than modulo in the flat
+    # regime, where the admit-pattern rungs carry the structure duty.
+    S_c, M_c, shift = admit.copy(), counts.astype(np.float64), 0
+    while (len(M_c) + 1) // 2 > coarse_p:
+        if len(M_c) % 2:  # pad to even: one empty (0-row) phantom block
+            S_c = np.pad(S_c, ((0, 1), (0, 1)))
+            M_c = np.append(M_c, 0.0)
+        S_c = S_c[0::2] | S_c[1::2]
+        S_c = S_c[:, 0::2] | S_c[:, 1::2]
+        M_c = M_c[0::2] + M_c[1::2]
+        shift += 1
+        P = len(M_c)
+        ladder.append(P)
+        _consider("pair", np.arange(kf) >> shift, P,
+                  _grid_cost_ms(M_c, S_c, max_cell_rows))
+        if kf <= FLAT_CELL_CAP:
             # admit-pattern k-means is O(kf²·P) per rung — cheap below
             # the flat cap, a multi-minute driver stall above it (the
             # hierarchical regime gets its structure rung from the
             # parent grouping below instead)
-            rungs.append(
-                ("admit_pattern", _admit_pattern_groups(admit, P, seed), P)
-            )
+            g = _admit_pattern_groups(admit, P, seed)
+            _consider("admit_pattern", g, P, _ms(g, P))
+    if coarse_p < kf:
+        # coarse anchor: the plain blocked grid at exactly p_floor
+        g = np.arange(kf) % coarse_p
+        ladder.append(coarse_p)
+        _consider("modulo", g, coarse_p, _ms(g, coarse_p))
+        if kf <= FLAT_CELL_CAP:
+            g = _admit_pattern_groups(admit, coarse_p, seed)
+            _consider("admit_pattern", g, coarse_p, _ms(g, coarse_p))
     if parent is not None:
         # hierarchical fit (r13): merging fine cells back into their
         # coarse PARENTS is the natural structure-aware rung — siblings
         # are geometric neighbors by construction, so the merge only
         # fuses mutually-close (usually mutually-admitting) cells
         pg = np.unique(parent, return_inverse=True)[1]
-        rungs.append(("parent", pg, int(pg.max()) + 1))
-    best = None
-    for how, group, P in rungs:
-        cand, repl, cost = _grid_cost(counts, admit, group, P, max_cell_rows)
-        if best is None or cost < best[3]:
-            best = (group, P, cand, cost, repl, how)
+        _consider("parent", pg, int(pg.max()) + 1, _ms(pg, int(pg.max()) + 1))
     group, P, cand, cost, repl, how = best
     # compact labels: k-means groupings can leave empty groups, which
     # would otherwise spawn empty (zero-row) block tasks downstream
@@ -344,7 +396,14 @@ def _group_or(admit: np.ndarray, group: np.ndarray, P: int) -> np.ndarray:
     the P×P super-pair admission matrix, in O(kf²) — the dense kf×P
     indicator matmul this replaces (r13) was O(kf²·P), which at the
     raised cell cap (kf up to 8192) made every planner rung a multi-
-    second driver GEMM.  Sums are exact in f32 (each ≤ kf < 2²⁴)."""
+    second driver GEMM.  Sums are exact in f32 (each ≤ kf < 2²⁴).
+    Identity groupings short-circuit to a copy (the guardrail's
+    fine-grid evaluation would otherwise pay two full f32 passes over
+    the kf² matrix for a no-op, ~1 s at kf=6.5k — XL_PHASE_r13)."""
+    if P == len(group) and group[0] == 0 and group[-1] == P - 1:
+        ident = np.arange(P)
+        if np.array_equal(group, ident):
+            return admit.copy()
     order = np.argsort(group, kind="stable")
     counts = np.bincount(group, minlength=P)
     starts = np.zeros(P, dtype=np.int64)
@@ -1031,15 +1090,26 @@ def _ivf_pruned_replicated(
     counts = np.array([cell_stats[c][1] for c in cells], dtype=np.float64)
 
     theta_tau = float(np.arccos(np.clip(tau, -1.0, 1.0)))
-    cc = np.arccos(
-        np.clip(_normalize(centroids) @ _normalize(centroids).T, -1.0, 1.0)
-    )
     # fine-grid admission: cell pair (i, j) can hold a qualifying vector
-    # pair only if angle(c_i, c_j) - r_i - r_j <= theta_tau
-    admit = (
-        cc[np.ix_(cells, cells)] - radii[:, None] - radii[None, :]
-        <= theta_tau + 1e-9
-    )
+    # pair only if angle(c_i, c_j) - r_i - r_j <= theta_tau.  Evaluated
+    # in the COS domain (r13, XL_PHASE_r13):
+    #   angle ≤ θτ + r_i + r_j  ⟺  dot ≥ cos(min(θτ + r_i + r_j, π))
+    # and with x_i = θτ/2 + r_i the threshold cos(x_i + x_j) expands by
+    # angle addition into just TWO outer products of per-cell cos/sin —
+    # no kf² arccos (the transcendental was 7.5 s of the per-join
+    # driver stall at kf=6.5k).  The angle-domain +1e-9 slack maps to
+    # ≥ cosT − sinT·1e-9 with sinT ≤ 1, so subtracting 2e-9 is a
+    # conservative superset — a borderline difference only ever ADDS
+    # provably-safe blocks.
+    C = _normalize(centroids)[cells]
+    dots = C @ C.T
+    x = radii + 0.5 * theta_tau
+    cos_t = np.outer(np.cos(x), np.cos(x))
+    cos_t -= np.outer(np.sin(x), np.sin(x))
+    cos_t -= 2e-9
+    admit = dots >= cos_t
+    # θτ + r_i + r_j ≥ π: the bound can't exclude anything on a sphere
+    admit |= radii[:, None] + radii[None, :] >= np.pi - theta_tau
 
     # guardrail on the GEOMETRY (fine granularity), independent of the
     # executed plan: admit_rate ~1 at scale means no exact method beats

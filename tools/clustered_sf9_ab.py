@@ -135,6 +135,14 @@ def main() -> None:
             s["walls_s"].append(round(_run(s["df"], s["n_cells"]), 3))
         spark.catalog.clearCache()
         gc.collect()
+        # JVM GC between reps (r13): each join call localCheckpoints a
+        # fresh ~n-row assignment RDD whose blocks are reclaimed only
+        # when ContextCleaner sees the JVM-side reference die — without
+        # this, 16 consecutive XL-scale joins accumulate ~25 GB of
+        # checkpoint blocks and the walls climb ~2x across the run
+        # (first CLUSTERED_XL_r13 attempt: 2.1M side 162->328 s; the
+        # 4-rep drift test with System.gc() showed no trend).
+        spark.sparkContext._jvm.System.gc()
     med = statistics.median
     ratios = sorted(wb / max(wa, 1e-9)
                     for wa, wb in zip(a["walls_s"], b["walls_s"]))
@@ -145,8 +153,8 @@ def main() -> None:
         "rows_per_cluster": ROWS_PER_CLUSTER,
         "scales": list(SCALES),
         "protocol": f"interleaved {SCALES[0]}<->{SCALES[1]}, alternating "
-        f"order, 1 cold rep/side, {reps} timed reps/side, median of "
-        "per-rep ratios",
+        f"order, 1 cold rep/side, {reps} timed reps/side, JVM GC "
+        "between reps, median of per-rep ratios",
         "sides": {
             str(n): {
                 "n_cells": sides[n]["n_cells"],
