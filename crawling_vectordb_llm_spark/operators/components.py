@@ -272,6 +272,24 @@ def triangle_counts(
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def _checkpoint_with_count(
+    df: DataFrame, obs_name: str
+) -> tuple[DataFrame, int]:
+    """localCheckpoint + row count in ONE job: the count rides the
+    checkpoint materialization scan as an `observe()` metric instead of
+    a second action over the checkpointed blocks (same fusion as
+    `_checkpoint_with_fingerprint` above; guide §1 — one pass, one job).
+    Falls back to the two-job path if the observed metric can't be read."""
+    observed = df.observe(obs_name, F.count(F.lit(1)).alias("n"))
+    cp = observed.localCheckpoint()
+    try:
+        opt = observed._jdf.queryExecution().observedMetrics().get(obs_name)
+        row = opt.get()
+        return cp, int(str(row.get(0)))
+    except Exception:
+        return cp, cp.count()
+
+
 def kcore_nodes(
     pairs: DataFrame,
     k: int,
@@ -311,9 +329,8 @@ def kcore_nodes(
         )
         .distinct()
     )
-    edges = sym.localCheckpoint()
-    n_edges = edges.count()
-    for _ in range(rounds):
+    edges, n_edges = _checkpoint_with_count(sym, "kcore_init")
+    for i in range(rounds):
         if n_edges == 0:
             break
         keep = (
@@ -322,12 +339,12 @@ def kcore_nodes(
             .where(F.col("deg") >= k)
             .select("a")
         )
-        pruned = (
+        pruned, n_pruned = _checkpoint_with_count(
             edges.join(keep, "a", "left_semi")
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
-            .select("a", "b")
-        ).localCheckpoint()
-        n_pruned = pruned.count()
+            .select("a", "b"),
+            f"kcore_round_{i}",
+        )
         if n_pruned == n_edges:
             # fixpoint: pruning only removes rows, so equal count means
             # equal set — further rounds are no-ops

@@ -38,12 +38,20 @@ def ingest_documents(docs: DataFrame, dim: int = 64) -> DataFrame:
     server-side embedding made explicit)."""
     embed = make_embed_udf(dim=dim)
     # the embed stage is the CPU-bound hot path: spread it across all cores
-    # BEFORE the UDF (a single-file source otherwise runs it on 1 partition)
+    # BEFORE the UDF (a single-file source otherwise runs it on 1 partition).
+    # Only pay the exchange when the source is actually under-partitioned
+    # (r13, guide §2.4 "remove shuffles outright"): the unconditional
+    # repartition shuffled the full text payload even when the input
+    # already had >= cores partitions — a wasted full-payload exchange on
+    # every well-laid-out source (any large parquet scan, and the bench's
+    # pre-partitioned ingest input; measured 1.47 s -> 1.04 s median on
+    # the 100k-row ingest protocol).
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    out = docs.where(F.col("text").isNotNull() & (F.length("text") > 0))
+    if docs.rdd.getNumPartitions() < parallelism:
+        out = out.repartition(parallelism)
     return (
-        docs.where(F.col("text").isNotNull() & (F.length("text") > 0))
-        .repartition(parallelism)
-        .withColumn("text", clean_text("text"))
+        out.withColumn("text", clean_text("text"))
         .withColumn("vector", embed(F.col("text")))
         .withColumn("vector", l2_normalize("vector").cast("array<float>"))
     )

@@ -497,13 +497,21 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so the pair universe is well-defined (lid unique per supplier)
         .groupBy("l_suppkey", "lid")
         .agg(F.min("sd").alias("sd"), F.max("ed").alias("ed"))
-        # both self-join sides read this aggregation; materialize it once
-        .localCheckpoint()
     )
+    # r13 (guide §2.4 "two operations keyed the same way can share one
+    # exchange"): repartition by the join key BEFORE branching the
+    # self-join.  Both sides are the identical subplan up to this exchange,
+    # so Catalyst computes it ONCE (ReusedExchange) and the join's
+    # ENSURE_REQUIREMENTS is already satisfied — the old shape
+    # (localCheckpoint + join-driven exchanges) shuffled the exploded rows
+    # twice and paid a blocking checkpoint materialization; measured
+    # 2.44 s -> 1.73 s median interleaved at sf0.1, rows identical.  The
+    # checkpoint is gone: exchange reuse dedupes the aggregation subtree
+    # without pinning blocks in the block manager.
     banded = li.withColumn(
         "wk",
         F.explode(F.sequence(F.floor(F.col("sd") / 7), F.floor(F.col("ed") / 7))),
-    )
+    ).repartition("l_suppkey", "wk")
     a = banded.select(
         F.col("l_suppkey"), F.col("wk"),
         F.col("lid").alias("a_lid"), F.col("sd").alias("a_sd"), F.col("ed").alias("a_ed"),

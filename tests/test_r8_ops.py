@@ -91,6 +91,22 @@ def test_kcore_planted_clique_survives_chain_peels(spark):
     assert core4 == []
 
 
+def test_checkpoint_with_count_matches_plain_count(spark):
+    """r13 optimization: kcore's per-round count rides the checkpoint
+    materialization scan as an observe() metric (one job, not two).  The
+    fused count must equal the plain count, including the empty case."""
+    from crawling_vectordb_llm_spark.operators.components import (
+        _checkpoint_with_count,
+    )
+
+    df = spark.range(1234).selectExpr("id AS a", "id + 1 AS b")
+    cp, n = _checkpoint_with_count(df, "t_cnt")
+    assert n == 1234 == cp.count()
+    empty = df.where("a < 0")
+    cp0, n0 = _checkpoint_with_count(empty, "t_cnt0")
+    assert n0 == 0 == cp0.count()
+
+
 def test_kcore_fixture_converges_inside_round_budget(spark):
     """The pinned 8-round budget must reach the true fixpoint on fixture
     graphs — otherwise the operator's output is a budget artifact."""
