@@ -149,13 +149,18 @@ def minhash_signatures(
         F.col(id_col),
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("hashes"),
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("hashes", lambda h, i=i: F.xxhash64(h, F.lit(i)))
-            )
-            for i in range(num_perm)
-        ]
+    # r13 BUG FIX: the previous `lambda h, i=i:` had VISIBLE ARITY 2, so
+    # transform bound i to the ELEMENT INDEX (not the permutation index)
+    # and every one of the 32 signature slots computed the identical
+    # min(xxhash64(h, element_idx)) — the "32-permutation" signature was
+    # one hash function replicated, i.e. 1-band/1-row LSH in disguise
+    # (the portable twin's closure-factory comment names exactly this
+    # trap).  The sequence-lambda form binds the TRUE permutation index
+    # and collapses 32 parallel Catalyst branches into one nested lambda
+    # (driver planning 0.38 s -> 0.10 s per call, guide §7.3).
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform("hashes", lambda h: F.xxhash64(h, i))),
     )
     return hashed.select(F.col(id_col), sig.alias("signature"))
 
@@ -417,13 +422,12 @@ def minhash_near_dup_pairs(
     hashed = sh.select(
         F.col(id_col), F.transform("sh", lambda s: F.xxhash64(s)).alias("hashes")
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("hashes", lambda h, i=i: F.xxhash64(h, F.lit(i)))
-            )
-            for i in range(num_perm)
-        ]
+    # r13 BUG FIX + planning-tree collapse: see minhash_signatures above —
+    # the arity-2 lambda bound the element index, making all num_perm
+    # slots identical; this is the true per-permutation re-hash.
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform("hashes", lambda h: F.xxhash64(h, i))),
     )
     sigs = hashed.select(F.col(id_col), sig.alias("signature"))
     cands = lsh_candidate_pairs(sigs, id_col)

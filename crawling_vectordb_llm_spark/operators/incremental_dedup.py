@@ -143,36 +143,43 @@ def incremental_near_dup_portable(
     # (3 text passes -> 1 measured 4.8s -> ~2s at sf0.1)
     sh = corpus.select(
         F.col(id_col),
-        new_pred.alias("__new"),
         word_shingles(text_col, shingle_n).alias("sh"),
     ).where(F.size("sh") > 0)
     sh.persist()
-    from crawling_vectordb_llm_spark.operators.dedup import (
-        MERSENNE31,
-        perm_coeffs,
-        portable_shingle_hashes,
-    )
 
-    hashed = sh.select(
-        id_col, "__new", portable_shingle_hashes(F.col("sh")).alias("hashes")
-    )
-    P = F.lit(MERSENNE31)
+    # Band rows via the vectorized numpy signer (r13, guide §4.2/§7.3):
+    # the 32-permutation transform/aggregate EXPRESSION ladder this
+    # replaces never enters whole-stage codegen (per-element boxing) AND
+    # its Catalyst tree cost ~1.2 s of driver-side analysis per call — a
+    # planning stall with zero tasks running.  `_portable_band_rows_pdf`
+    # is bit-identical by construction (parity + hypothesis tests,
+    # tests/test_incremental_dedup.py), so the oracle replay is unchanged;
+    # the batch flag rides the same Arrow pass.
+    import pandas as pd
 
-    def _perm(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % P
+    def _sign_flagged(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            id_rep, band, bh = _portable_band_rows_pdf(
+                pdf[id_col], pdf[text_col], num_perm, shingle_n, bands,
+                rows_per_band,
+            )
+            flags = pdf.set_index(id_col)["__new"]
+            yield pd.DataFrame(
+                {
+                    "__id": id_rep,
+                    "__new": flags.loc[id_rep].to_numpy(),
+                    "band": band,
+                    "band_hash": bh,
+                }
+            )
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform("hashes", _perm(a, b)))
-            for a, b in perm_coeffs(num_perm)
-        ]
-    )
-    all_rows = hashed.select(
-        F.col(id_col).alias("__id"),
-        "__new",
-        F.posexplode(
-            portable_band_hashes(sig, bands, rows_per_band)
-        ).alias("band", "band_hash"),
+    all_rows = corpus.select(
+        F.col(id_col), new_pred.alias("__new"), F.col(text_col)
+    ).mapInPandas(
+        _sign_flagged,
+        schema="__id long, __new boolean, band int, band_hash bigint",
     )
     all_rows.persist()
     old_rows = all_rows.where(~F.col("__new")).drop("__new")

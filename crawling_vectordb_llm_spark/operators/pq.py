@@ -294,13 +294,21 @@ def ivfpq_topk(
     # --- train PQ on residuals (seeded random driver sample) ---
     from crawling_vectordb_llm_spark.operators.ivf import bounded_random_sample
 
-    # residual-codebook sample under the same FAISS-rule cap as pq_train
+    # residual-codebook sample under the same FAISS-rule cap as pq_train.
+    # Sample the RAW corpus and recompute each sampled row's centroid on
+    # the driver (r13, guide §1/§5): sampling `assigned` forced the whole
+    # assignment mapInPandas stage to materialize eagerly just to collect
+    # <=20k rows — a full extra pass over the corpus that the lazy encode
+    # pipeline then re-ran anyway.  The driver-side argmax is the same
+    # numpy expression assign_centroids runs per batch (normalize -> GEMM
+    # -> argmax), so the sampled (vector, centroid) pairs are identical;
+    # centroid_id is a function of the vector, so dropping it from the
+    # sample-order pinning key changes nothing either.
     rows = bounded_random_sample(
-        assigned, [corpus_vec, "centroid_id"],
-        max(20_000, 1_024 * n_codes), seed,
+        corpus, [corpus_vec], max(20_000, 1_024 * n_codes), seed,
     )
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
-    cid = np.array([r[1] for r in rows], dtype=np.int64)
+    cid = np.argmax(x @ cents.T, axis=1)
     resid = x - cents[cid]
     dim = x.shape[1]
     # Auto mode (m_subvectors=None, r11): m tracks DIMENSION at a fixed

@@ -34,6 +34,37 @@ def test_exact_dedup_groups_copies(spark):
         assert r["n_dups"] == 2
 
 
+def test_minhash_signature_slots_are_true_permutations(spark):
+    """r13 regression: the old arity-2 lambda (`lambda h, i=i:`) made
+    transform bind i to the ELEMENT index, so all 32 signature slots were
+    the identical min — one hash function masquerading as 32.  Pin that
+    slot j is min(xxhash64(shingle_hash, j)) for the true permutation
+    index j, and that a real document's slots are not all equal."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    sig = D.minhash_signatures(docs).collect()[0]["signature"]
+    assert len(sig) == 32
+    assert len(set(sig)) > 1, "signature slots must differ across permutations"
+    sh = docs.select(D.word_shingles("text", 3).alias("sh"))
+    hashes = [
+        r[0]
+        for r in sh.select(
+            F.explode(F.transform("sh", lambda s: F.xxhash64(s)))
+        ).collect()
+    ]
+    for j in (0, 7, 31):
+        expect = (
+            spark.createDataFrame([(h,) for h in hashes], "h long")
+            .select(F.min(F.xxhash64("h", F.lit(j))))
+            .collect()[0][0]
+        )
+        assert sig[j] == expect, f"slot {j} is not the min over permutation {j}"
+
+
 def test_minhash_lsh_finds_planted_near_dups(spark):
     docs = _docs_with_planted_dups(spark)
     pairs = {
