@@ -168,8 +168,9 @@ def connected_components(
     graph kernel.
 
     Adaptive physical choice (the iterative analog of AQE's size-based
-    join selection): the distinct edge count is already known from the
-    init-checkpoint fingerprint; at or below `max_driver_edges` (~32 MB
+    join selection): a `limit(max_driver_edges + 1)` probe collect
+    decides the mode and, for small graphs, already delivers the edges
+    in the same job (r13); at or below `max_driver_edges` (~32 MB
     of longs at the 2M default — the same bound the incremental-dedup
     stream uses for its band-row collect, and far under the 100 TB-safe
     driver budget) the O(rounds) shuffle ladder costs more than
@@ -188,11 +189,19 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    edges, prev = _checkpoint_with_fingerprint(canon, "cc_init")
-    if prev[0] <= max_driver_edges:
+    # Small-graph detection via a limit probe (r13, guide §1/§5 — the
+    # same pattern as bounded_random_sample): one collect decides the
+    # mode AND delivers the edges, replacing the old
+    # checkpoint-materialize + fingerprint + re-collect sequence (three
+    # driver round-trips) on every small graph.  Graphs over the
+    # threshold pay one early-exiting CollectLimit pass before the
+    # distributed fixpoint — a constant next to O(rounds) shuffles.
+    probe = canon.limit(max_driver_edges + 1).collect()
+    if len(probe) <= max_driver_edges:
         return _driver_union_find(
-            [(r["u"], r["v"]) for r in edges.collect()], pairs.sparkSession
+            [(r["u"], r["v"]) for r in probe], pairs.sparkSession
         )
+    edges, prev = _checkpoint_with_fingerprint(canon, "cc_init")
     for i in range(max_rounds):
         nxt = _star_round(_star_round(edges, large=True), large=False)
         edges, cur = _checkpoint_with_fingerprint(nxt, f"cc_round_{i}")

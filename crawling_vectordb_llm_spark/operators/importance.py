@@ -99,19 +99,30 @@ def dsir_importance(
     # a full corpus pass (explode + md5 per n-gram) and must not be
     # recomputed for the totals action and again for the scoring join —
     # two corpus passes total (fit, score) is the DSIR scale shape
-    model = (
-        feats.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("c_raw"),
-            F.sum(F.col("__is_target").cast("long")).alias("c_tgt"),
-        )
-        .localCheckpoint()
+    # r13 (guide §1.4/§5): the model totals ride the checkpoint
+    # materialization scan as observe() metrics instead of a second
+    # aggregation action over the checkpointed rows — one driver
+    # round-trip for fit + totals, not two (same fusion as
+    # components._checkpoint_with_fingerprint).
+    observed = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.col("__is_target").cast("long")).alias("c_tgt"),
+    ).observe(
+        "dsir_totals",
+        F.sum("c_raw").alias("t_raw"),
+        F.sum("c_tgt").alias("t_tgt"),
     )
-    totals = model.agg(
-        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
-    ).first()
-    t_raw = float(totals["t_raw"]) + n_buckets
-    t_tgt = float(totals["t_tgt"]) + n_buckets
+    model = observed.localCheckpoint()
+    try:
+        row = observed._jdf.queryExecution().observedMetrics().get("dsir_totals").get()
+        t_raw_i, t_tgt_i = int(str(row.get(0))), int(str(row.get(1)))
+    except Exception:
+        totals = model.agg(
+            F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+        ).first()
+        t_raw_i, t_tgt_i = int(totals["t_raw"]), int(totals["t_tgt"])
+    t_raw = float(t_raw_i) + n_buckets
+    t_tgt = float(t_tgt_i) + n_buckets
     scored = feats.join(F.broadcast(model), "bucket").select(
         id_col,
         F.round(

@@ -40,6 +40,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # r13 (guide §3.1): let the planner pick shuffled-hash over
+        # sort-merge when its size conditions hold — skips both sort
+        # passes; the full-outer diff/PSI joins and the banded interval
+        # self-join measured 4-26% faster interleaved, none slower.  The
+        # AQE local-map threshold additionally rewrites SMJ->SHJ at
+        # runtime when every post-shuffle partition is under 64 MB —
+        # bounded by per-task memory, so safe at any cluster scale (a
+        # 100 TB shuffle with healthy 100 MB-1 GB partitions simply never
+        # triggers it).  Results are strategy-independent by definition;
+        # full 215-query DuckDB selfcheck re-run green under these confs.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         # auto-broadcast stays on (10 MB); we additionally hint explicitly
         # in operators where we KNOW the side is small (dims, query sets).
         # local[32] runs 32 task threads in ONE heap: at 8g the block

@@ -747,11 +747,20 @@ def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "g.head", "g.tail")
-    bigc = big.groupBy("head", "tail").agg(F.count(F.lit(1)).alias("c2"))
-    bigc = bigc.localCheckpoint()  # 3 consumers below; count once
+    observed = big.groupBy("head", "tail").agg(
+        F.count(F.lit(1)).alias("c2")
+    ).observe("bigram_total", F.sum("c2").alias("n"))
+    bigc = observed.localCheckpoint()  # 3 consumers below; count once
     unic = bigc.groupBy("head").agg(F.sum("c2").alias("c1"))
     tailc = bigc.groupBy("tail").agg(F.sum("c2").alias("ct"))
-    n_total = float(bigc.agg(F.sum("c2")).first()[0])
+    # r13 (guide §1.4/§5): the model total rides the checkpoint
+    # materialization as an observe() metric — one corpus pass + one
+    # driver round-trip where checkpoint + a second agg action paid two.
+    try:
+        row = observed._jdf.queryExecution().observedMetrics().get("bigram_total").get()
+        n_total = float(int(str(row.get(0))))
+    except Exception:
+        n_total = float(bigc.agg(F.sum("c2")).first()[0])
     scored = (
         big.join(F.broadcast(bigc), ["head", "tail"])
         .join(F.broadcast(unic), "head")
