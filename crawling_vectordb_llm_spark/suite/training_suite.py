@@ -503,25 +503,33 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawling_vectordb_llm_spark.functions import text as X
 
     d = _docs(spark, sf_dir)
-    q = d.select(
-        "doc_id", "lang", "text", X.quality_score("text").alias("quality")
+    # r13 (guide §8 "decide with small rows"): every downstream decision
+    # needs only (doc_id, lang, content hash, token count, quality) — a
+    # few dozen bytes/doc.  Extract them in ONE text pass and checkpoint
+    # the narrow proxy; the old shape recomputed quality_score and
+    # re-scanned the text THREE times (the percentile pass, the canon
+    # pass, and the slim pass each re-evaluated the q/gated subtree).
+    # Values are expression-identical — only the evaluation count drops.
+    narrow = d.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        X.quality_score("text").alias("quality"),
+    ).localCheckpoint()
+    b = narrow.groupBy("lang").agg(F.expr("percentile(quality, 0.1)").alias("lo"))
+    gated = narrow.join(F.broadcast(b), "lang").where(
+        F.col("quality") >= F.col("lo")
     )
-    b = q.groupBy("lang").agg(F.expr("percentile(quality, 0.1)").alias("lo"))
-    gated = q.join(F.broadcast(b), "lang").where(F.col("quality") >= F.col("lo"))
-    canon = (
-        gated.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    canon = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
     )
-    # project text down to (id, shard, tokens) BEFORE the canon join: if
-    # the kept set ever outgrows broadcast and the join degrades to
-    # sort-merge, only fixed-width columns shuffle — never document text
     slim = gated.select(
         "doc_id",
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
         .cast("int")
         .alias("shard_id"),
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        "n_tokens",
     )
     kept = slim.join(canon, "doc_id")
     w = (
