@@ -61,12 +61,17 @@ def bm25_scores(
     dl = docs.select(
         F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl")
     )
-    n_docs = docs.count()
-    avgdl = (
-        dl.agg(
-            (F.sum(F.col("dl").cast("decimal(22,6)")).cast("double") / F.count(F.lit(1))).alias("a")
-        ).first()["a"]
-    )
+    # r13 (guide §1/§5): n_docs and avgdl in ONE aggregation action — the
+    # separate count() + agg() pair scanned the document table twice and
+    # paid two driver round-trips for two scalars of the same pass.
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("dl").cast("decimal(22,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("a"),
+    ).first()
+    n_docs, avgdl = stats["n"], stats["a"]
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)

@@ -973,7 +973,8 @@ def _ivf_pruned_replicated(
             corpus, k, vec_col, seed=seed, max_iter=8, n=n,
         )
         hier = (coarse_c, parent_of)
-    elif centroids is None:
+    sample_x: "np.ndarray | None" = None
+    if centroids is None and k <= FLAT_CELL_CAP:
         # Cell centroids are a PARTITIONING device, not a quantizer:
         # exactness never depends on them (radii are computed from the
         # actual assignment, and the triangle bound is evaluated on
@@ -987,10 +988,26 @@ def _ivf_pruned_replicated(
         # at admit 0.003 (CLUSTERED_DIM1024_r12.json history).  Callers
         # needing quantizer-grade cells pass `centroids` explicitly
         # (plans/index_build.py persists exactly that).
-        centroids = kmeans_centroids(
-            corpus, k, vec_col, seed=seed, max_iter=8,
-            sample_limit=max(10_000, 64 * k),
+        #
+        # r13 (guide §1/§5): the fit is inlined (same steps as
+        # kmeans_centroids, bit-for-bit: capped bounded sample →
+        # normalize → k-means++ → 8 Lloyd rounds) so that when the
+        # sample probe already collected the ENTIRE corpus
+        # (len(rows) == n, true for every fixture-scale call), the
+        # per-cell radii/size stats can be computed on the driver from
+        # the same vectors with the exact executor math — skipping the
+        # eager distributed radius pass (one full mapInPandas
+        # materialization per join).  Above the sample cap the
+        # distributed radius pass runs unchanged.
+        eff_limit = min(max(10_000, 64 * k), max(10_000, 256 * k))
+        rows_s = bounded_random_sample(corpus, [vec_col], eff_limit, seed)
+        fit_x = _normalize(np.array([r[0] for r in rows_s], dtype=np.float64))
+        rng = np.random.default_rng(seed)
+        centroids = _lloyd_sphere(
+            fit_x, _kmeanspp_init(fit_x, min(k, len(fit_x)), rng), 8
         )
+        if len(rows_s) == n:
+            sample_x = fit_x
     k = centroids.shape[0]
     if hier is None:
         bc = spark.sparkContext.broadcast(centroids)
@@ -1075,15 +1092,34 @@ def _ivf_pruned_replicated(
         _assign_theta,
         schema=f"__id {id_t}, __v {vec_t}, __cell int, __theta double",
     )
-    # cache: the radius/size pass and the replicated verify pass both scan it
-    assigned = assigned.localCheckpoint(eager=False)
-
-    cell_stats = {
-        int(r["__cell"]): (float(r["r"]), int(r["n"]))
-        for r in assigned.groupBy("__cell")
-        .agg(F.max("__theta").alias("r"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    if sample_x is None:
+        # cache: the radius pass and the replicated verify pass both scan it
+        assigned = assigned.localCheckpoint(eager=False)
+        cell_stats = {
+            int(r["__cell"]): (float(r["r"]), int(r["n"]))
+            for r in assigned.groupBy("__cell")
+            .agg(F.max("__theta").alias("r"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    else:
+        # r13: the fit sample IS the corpus — per-cell max-theta/size are
+        # computed here with the exact executor expressions (normalize →
+        # GEMM → argmax → arccos(clip)); max and count are
+        # order-independent, so the sorted sample order is immaterial.
+        # `assigned` then has a single consumer (the replication join)
+        # and stays fully lazy — no eager materialization pass at all.
+        sims_s = sample_x @ centroids.T
+        cid_s = np.argmax(sims_s, axis=1)
+        theta_s = np.arccos(
+            np.clip(sims_s[np.arange(len(cid_s)), cid_s], -1.0, 1.0)
+        )
+        cell_stats = {
+            int(c): (
+                float(theta_s[cid_s == c].max()),
+                int((cid_s == c).sum()),
+            )
+            for c in np.unique(cid_s)
+        }
     cells = sorted(cell_stats)
     kf = len(cells)
     radii = np.array([cell_stats[c][0] for c in cells])

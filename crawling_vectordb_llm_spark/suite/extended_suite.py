@@ -768,9 +768,14 @@ def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     b1, b2 = buckets(v1, "n1"), buckets(v2, "n2")
+    # r13 (guide §5): the joined bucket table is a few dozen rows but was
+    # consumed by BOTH the totals aggregate and the PSI projection — each
+    # re-ran the full-outer join AND both text-scan bucket passes.
+    # Checkpointing the tiny table computes the snapshot scans once.
     j = (
         b1.join(b2, ["feature", "bucket"], "full_outer")
         .na.fill({"n1": 0, "n2": 0})
+        .localCheckpoint()
     )
     t = j.groupBy("feature").agg(
         F.sum("n1").cast("double").alias("tot1"),

@@ -513,8 +513,19 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     caught on ~2/50k docs (same class and fix as dsir_importance, r4)."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    total = float(freq.agg(F.sum("c")).first()[0])
+    # r13 (guide §1.4/§5, same fusion as bigram_logprob_score below): the
+    # vocabulary total rides the checkpoint materialization as an
+    # observe() metric — the old shape re-ran the full token aggregation
+    # once for the total and again for the scoring broadcast.
+    observed = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).observe(
+        "unigram_total", F.sum("c").alias("n")
+    )
+    freq = observed.localCheckpoint()
+    try:
+        row = observed._jdf.queryExecution().observedMetrics().get("unigram_total").get()
+        total = float(int(str(row.get(0))))
+    except Exception:
+        total = float(freq.agg(F.sum("c")).first()[0])
     scored = toks.join(F.broadcast(freq), "term").select(
         "doc_id",
         F.round(F.log(F.col("c") / F.lit(total)), 6)
