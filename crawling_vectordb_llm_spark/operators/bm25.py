@@ -54,6 +54,13 @@ def bm25_scores(
     DERIVED relations (e.g. a document's own token set for self-retrieval
     evaluation) instead of driver literals, and so callers can filter the
     scored relation (exclude self-matches, thresholds) BEFORE ranking."""
+    # r14 MEASURED AND REJECTED (kept as the dl-join shape): carrying dl
+    # through the exploded token rows into the tf aggregation (min(dl)
+    # per group) to drop the dl re-scan + join measured 1.75 -> 2.85 s
+    # interleaved on bm25_search — the widened (doc, term) aggregation
+    # state over the full token stream costs more than the dl attach,
+    # which the planner already executes as a broadcast-side join of a
+    # narrow (id, int) relation.  The dl join stays.
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
@@ -78,8 +85,13 @@ def bm25_scores(
     tf_part = (F.col("tf") * (K1 + 1)) / (
         F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl)))
     )
+    # qterms is the QUERY side — bounded by contract (driver literals in
+    # bm25_topk, an eval set's token rows otherwise; same posture as
+    # contamination_report's broadcast bench shingles, guide §3.1): hint
+    # it so the scoring join never sorts/shuffles the tf relation against
+    # a size misestimate of a tiny derived relation.
     partial = (
-        qterms.join(tf, "term")
+        F.broadcast(qterms).join(tf, "term")
         .join(F.broadcast(dfreq.join(qterms.select("term").distinct(), "term")), "term")
         .join(dl, id_col)
         .select(

@@ -107,15 +107,17 @@ def _checkpoint_with_fingerprint(
     """localCheckpoint + edge fingerprint in ONE job: the fingerprint is an
     `observe()` metric computed as a side effect of the checkpoint
     materialization scan, not a separate aggregation action.  Falls back to
-    the two-job path if the observed metric can't be read (API drift)."""
-    observed = edges.observe(obs_name, *_fingerprint_cols())
-    cp = observed.localCheckpoint()
-    try:
-        opt = observed._jdf.queryExecution().observedMetrics().get(obs_name)
-        row = opt.get()
-        return cp, (int(str(row.get(0))), int(str(row.get(1))))
-    except Exception:
-        return cp, _fingerprint(cp)
+    the two-job path if the observed metric can't be read (API drift).
+    r14: the observe-read fragility lives in one shared helper
+    (operators/fusion.py, ADVICE r13)."""
+    from crawling_vectordb_llm_spark.operators.fusion import (
+        checkpoint_with_metrics,
+    )
+
+    cp, vals = checkpoint_with_metrics(edges, obs_name, *_fingerprint_cols())
+    if vals is not None:
+        return cp, (vals[0], vals[1])
+    return cp, _fingerprint(cp)
 
 
 def _driver_union_find(rows: list, spark) -> DataFrame:
@@ -289,14 +291,14 @@ def _checkpoint_with_count(
     a second action over the checkpointed blocks (same fusion as
     `_checkpoint_with_fingerprint` above; guide §1 — one pass, one job).
     Falls back to the two-job path if the observed metric can't be read."""
-    observed = df.observe(obs_name, F.count(F.lit(1)).alias("n"))
-    cp = observed.localCheckpoint()
-    try:
-        opt = observed._jdf.queryExecution().observedMetrics().get(obs_name)
-        row = opt.get()
-        return cp, int(str(row.get(0)))
-    except Exception:
-        return cp, cp.count()
+    from crawling_vectordb_llm_spark.operators.fusion import (
+        checkpoint_with_metrics,
+    )
+
+    cp, vals = checkpoint_with_metrics(
+        df, obs_name, F.count(F.lit(1)).alias("n")
+    )
+    return cp, (vals[0] if vals is not None else cp.count())
 
 
 def kcore_nodes(

@@ -165,6 +165,136 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), sig.alias("signature"))
 
 
+# ---------------------------------------------------------------------------
+# numpy twin of Spark's XXH64 on fixed-width inputs (r14, guide §4.2).  The
+# 32-permutation re-hash above never enters whole-stage codegen (higher-order
+# -function lambdas evaluate with per-element boxing), so the now-correct
+# 8x4 LSH pays ~32 interpreted passes over every shingle hash.  These kernels
+# reproduce org.apache.spark.sql.catalyst.expressions.XXH64 bit-for-bit from
+# the published XXH64 constants (hashLong / hashInt / avalanche, seed
+# chaining across arguments) — verified empirically against F.xxhash64 by
+# tests/test_dedup.py parity + hypothesis tests, exactly like the portable
+# family's `_portable_band_rows_pdf` twin.
+# ---------------------------------------------------------------------------
+
+_XXH64_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH64_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH64_P3 = np.uint64(0x165667B19E3779F9)
+_XXH64_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH64_P5 = np.uint64(0x27D4EB2F165667C5)
+_XXH64_SEED = np.uint64(42)  # Spark's fixed xxhash64 seed
+
+
+def _xxh64_rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _xxh64_fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _XXH64_P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _XXH64_P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _xxh64_long(v: np.ndarray, seed) -> np.ndarray:
+    """XXH64.hashLong(v, seed) — v and the result are uint64 bit patterns
+    of Spark's signed longs; uint64 wraparound IS Java's 2^64 arithmetic."""
+    h = seed + _XXH64_P5 + np.uint64(8)
+    h = h ^ (_xxh64_rotl(v * _XXH64_P2, 31) * _XXH64_P1)
+    h = _xxh64_rotl(h, 27) * _XXH64_P1 + _XXH64_P4
+    return _xxh64_fmix(h)
+
+
+def _xxh64_int(v, seed) -> np.ndarray:
+    """XXH64.hashInt(v, seed) — the 4-byte path Spark takes for an
+    IntegerType child (the sequence-lambda permutation index above)."""
+    h = seed + _XXH64_P5 + np.uint64(4)
+    h = h ^ ((v & np.uint64(0xFFFFFFFF)) * _XXH64_P1)
+    h = _xxh64_rotl(h, 23) * _XXH64_P2 + _XXH64_P3
+    return _xxh64_fmix(h)
+
+
+def _xxhash_band_rows_pdf(
+    ids, hash_lists, num_perm: int, bands: int, rows_per_band: int
+):
+    """(doc ids, per-doc shingle-hash arrays) → (id_rep, band, band_hash)
+    numpy arrays — the vectorized twin of the signature + banded_rows
+    expression ladder for the xxhash64 family:
+
+    * sig[i] = min over shingle hashes h of xxhash64(h, i)
+             = min fmix-chain hashInt(i, hashLong(h, 42)); the inner
+      hashLong(h, 42) state is INDEPENDENT of i, so it is computed once
+      and re-mixed 32x (the expression plan re-hashes from scratch);
+      minima reduce in the SIGNED int64 domain exactly like array_min;
+    * band_hash[b] = xxhash64(sig[4b..4b+3]) = hashLong chained over the
+      4 slots from seed 42.
+
+    Bit-identical by construction; pinned by parity + hypothesis tests
+    against the expression form (tests/test_dedup.py)."""
+    doc_ids, counts, flats = [], [], []
+    for d, hs in zip(ids, hash_lists):
+        n = len(hs)
+        if n == 0:
+            continue
+        doc_ids.append(d)
+        counts.append(n)
+        flats.append(np.asarray(hs, dtype=np.int64))
+    if not doc_ids:
+        z = np.array([], dtype=np.int64)
+        return z, z.astype(np.int32), z
+    flat = np.concatenate(flats).view(np.uint64)
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    base = _xxh64_long(flat, _XXH64_SEED)  # shared hashLong(h, 42) state
+    sig = np.empty((len(doc_ids), num_perm), dtype=np.int64)
+    for i in range(num_perm):
+        per = _xxh64_int(np.uint64(i), base).view(np.int64)
+        sig[:, i] = np.minimum.reduceat(per, starts)
+    sig_u = sig.view(np.uint64)
+    bh = np.empty((len(doc_ids), bands), dtype=np.uint64)
+    for b in range(bands):
+        h = np.full(len(doc_ids), _XXH64_SEED, dtype=np.uint64)
+        for r in range(rows_per_band):
+            h = _xxh64_long(sig_u[:, b * rows_per_band + r], h)
+        bh[:, b] = h
+    id_rep = np.repeat(np.asarray(doc_ids, dtype=np.int64), bands)
+    band = np.tile(np.arange(bands, dtype=np.int32), len(doc_ids))
+    return id_rep, band, bh.view(np.int64).reshape(-1)
+
+
+def xxhash_banded_rows_fast(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """mapInPandas fast path from (id_col, hashes array<bigint>) — the
+    JVM xxhash64(shingle) pass stays in Spark (one codegen'd string pass)
+    — to the (__id, band, band_hash) bucket relation.  Same rows, same
+    values as signature-expression + banded_rows; ~one Arrow hop carrying
+    only (id, hashes) replaces 32 interpreted HOF re-hash passes plus the
+    band-fold ladder (guide §4.2 — batch the custom arithmetic in numpy,
+    let Spark keep distribution and the string hashing)."""
+    import pandas as pd
+
+    def _sign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            id_rep, band, bh = _xxhash_band_rows_pdf(
+                pdf[id_col], pdf["hashes"], num_perm, bands, rows_per_band
+            )
+            yield pd.DataFrame({"__id": id_rep, "band": band, "band_hash": bh})
+
+    return hashed.select(id_col, "hashes").mapInPandas(
+        _sign, schema="__id long, band int, band_hash bigint"
+    )
+
+
 def _pairs_from_banded(
     banded: DataFrame, max_bucket: int, distinct: bool = True
 ) -> DataFrame:
@@ -422,15 +552,15 @@ def minhash_near_dup_pairs(
     hashed = sh.select(
         F.col(id_col), F.transform("sh", lambda s: F.xxhash64(s)).alias("hashes")
     )
-    # r13 BUG FIX + planning-tree collapse: see minhash_signatures above —
-    # the arity-2 lambda bound the element index, making all num_perm
-    # slots identical; this is the true per-permutation re-hash.
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform("hashes", lambda h: F.xxhash64(h, i))),
+    # r14 (guide §4.2): signature + banding through the numpy XXH64 twin —
+    # the r13 bug fix made the 32-permutation re-hash REAL, and the real
+    # one runs 32 interpreted HOF passes over every shingle hash (HOF
+    # lambdas never enter codegen).  The twin is bit-identical (parity +
+    # hypothesis tests); the shingle-string xxhash64 pass above stays JVM.
+    banded = xxhash_banded_rows_fast(
+        hashed, id_col=id_col, num_perm=num_perm
     )
-    sigs = hashed.select(F.col(id_col), sig.alias("signature"))
-    cands = lsh_candidate_pairs(sigs, id_col)
+    cands = _pairs_from_banded(banded, max_bucket=50)
     a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
     return (

@@ -72,15 +72,21 @@ def retrieval_metrics(
     rel = qrels.select(
         F.col(query_col).alias("q"), F.col(doc_col).alias("d")
     )
+    # r14 (guide §3.1): both relations are <= n_queries x k rows BY THIS
+    # OPERATOR'S CONTRACT (docstring above) at any corpus scale, but they
+    # arrive behind windows/aggregations whose size estimates are far too
+    # high to broadcast statically — the r13 plan shows LeftOuter
+    # SortMergeJoin + a 3-exchange inner join for relations of ~150 rows.
+    # Explicit hints pin both metric joins to broadcast.
     n_rel = rel.groupBy("q").agg(F.count(F.lit(1)).alias("n_rel"))
-    hits = r.join(rel, ["q", "d"]).groupBy("q").agg(
+    hits = r.join(F.broadcast(rel), ["q", "d"]).groupBy("q").agg(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("rk").alias("first_rank"),
         F.sum(F.element_at(gain_arr, F.col("rk"))).alias("dcg"),
     )
     m = F.least(F.col("n_rel"), F.lit(k)).cast("int")
     return (
-        n_rel.join(hits, "q", "left")
+        n_rel.join(F.broadcast(hits), "q", "left")
         .select(
             F.col("q").alias(query_col),
             F.round(

@@ -104,19 +104,22 @@ def dsir_importance(
     # aggregation action over the checkpointed rows — one driver
     # round-trip for fit + totals, not two (same fusion as
     # components._checkpoint_with_fingerprint).
-    observed = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum(F.col("__is_target").cast("long")).alias("c_tgt"),
-    ).observe(
+    from crawling_vectordb_llm_spark.operators.fusion import (
+        checkpoint_with_metrics,
+    )
+
+    model, vals = checkpoint_with_metrics(
+        feats.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.col("__is_target").cast("long")).alias("c_tgt"),
+        ),
         "dsir_totals",
         F.sum("c_raw").alias("t_raw"),
         F.sum("c_tgt").alias("t_tgt"),
     )
-    model = observed.localCheckpoint()
-    try:
-        row = observed._jdf.queryExecution().observedMetrics().get("dsir_totals").get()
-        t_raw_i, t_tgt_i = int(str(row.get(0))), int(str(row.get(1)))
-    except Exception:
+    if vals is not None:
+        t_raw_i, t_tgt_i = vals
+    else:
         totals = model.agg(
             F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
         ).first()

@@ -517,15 +517,20 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary total rides the checkpoint materialization as an
     # observe() metric — the old shape re-ran the full token aggregation
     # once for the total and again for the scoring broadcast.
-    observed = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).observe(
-        "unigram_total", F.sum("c").alias("n")
+    from crawling_vectordb_llm_spark.operators.fusion import (
+        checkpoint_with_metrics,
     )
-    freq = observed.localCheckpoint()
-    try:
-        row = observed._jdf.queryExecution().observedMetrics().get("unigram_total").get()
-        total = float(int(str(row.get(0))))
-    except Exception:
-        total = float(freq.agg(F.sum("c")).first()[0])
+
+    freq, vals = checkpoint_with_metrics(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")),
+        "unigram_total",
+        F.sum("c").alias("n"),
+    )
+    total = (
+        float(vals[0])
+        if vals is not None
+        else float(freq.agg(F.sum("c")).first()[0])
+    )
     scored = toks.join(F.broadcast(freq), "term").select(
         "doc_id",
         F.round(F.log(F.col("c") / F.lit(total)), 6)
@@ -758,20 +763,25 @@ def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "g.head", "g.tail")
-    observed = big.groupBy("head", "tail").agg(
-        F.count(F.lit(1)).alias("c2")
-    ).observe("bigram_total", F.sum("c2").alias("n"))
-    bigc = observed.localCheckpoint()  # 3 consumers below; count once
-    unic = bigc.groupBy("head").agg(F.sum("c2").alias("c1"))
-    tailc = bigc.groupBy("tail").agg(F.sum("c2").alias("ct"))
+    from crawling_vectordb_llm_spark.operators.fusion import (
+        checkpoint_with_metrics,
+    )
+
     # r13 (guide §1.4/§5): the model total rides the checkpoint
     # materialization as an observe() metric — one corpus pass + one
     # driver round-trip where checkpoint + a second agg action paid two.
-    try:
-        row = observed._jdf.queryExecution().observedMetrics().get("bigram_total").get()
-        n_total = float(int(str(row.get(0))))
-    except Exception:
-        n_total = float(bigc.agg(F.sum("c2")).first()[0])
+    bigc, vals = checkpoint_with_metrics(
+        big.groupBy("head", "tail").agg(F.count(F.lit(1)).alias("c2")),
+        "bigram_total",
+        F.sum("c2").alias("n"),
+    )  # bigc: 3 consumers below; count once
+    unic = bigc.groupBy("head").agg(F.sum("c2").alias("c1"))
+    tailc = bigc.groupBy("tail").agg(F.sum("c2").alias("ct"))
+    n_total = (
+        float(vals[0])
+        if vals is not None
+        else float(bigc.agg(F.sum("c2")).first()[0])
+    )
     scored = (
         big.join(F.broadcast(bigc), ["head", "tail"])
         .join(F.broadcast(unic), "head")

@@ -924,12 +924,6 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     value sums are pinned order-independent by the decimal(22,6) cast of
     each availqty*supplycost product before summation, on both engines."""
     l = _t(spark, sf_dir, "lineitem")
-    ps = l.groupBy("l_partkey", "l_suppkey").agg(
-        _dsum(F.col("l_quantity")).alias("availqty"),
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
-            "supplycost"
-        ),
-    )
     asia = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -944,16 +938,28 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
-    v = (
-        ps.join(F.broadcast(asia), ps["l_suppkey"] == F.col("s_suppkey"))
-        .groupBy("l_partkey")
+    # r14 (guide §2.3): the ASIA restriction is on l_suppkey — a GROUPING
+    # key of the ps aggregation — so filtering lineitem BEFORE aggregating
+    # yields bit-identical (availqty, supplycost) for every surviving
+    # (partkey, suppkey) group while the (pk, sk) exchange now carries
+    # only the ~1-in-5 asia share of the partial aggregates (the r13 plan
+    # aggregated ALL of lineitem and applied the broadcast join after).
+    ps = (
+        l.join(F.broadcast(asia), l["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.sum(
-                (F.col("availqty") * F.col("supplycost")).cast("decimal(22,6)")
-            )
-            .cast("double")
-            .alias("value")
+            _dsum(F.col("l_quantity")).alias("availqty"),
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supplycost"
+            ),
         )
+    )
+    v = ps.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("availqty") * F.col("supplycost")).cast("decimal(22,6)")
+        )
+        .cast("double")
+        .alias("value")
     )
     # the global mean must ALSO be decimal-pinned: the per-part values are
     # exact 6-dp doubles, but summing them as raw doubles would make the

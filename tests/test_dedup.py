@@ -548,3 +548,121 @@ def test_clustered_embeddings_generator_and_measured_admit_rate(spark):
     assert stats["n"] == 600 and stats["total_pairs"] == 600 * 599 // 2
     assert stats["candidate_pairs"] >= len(exact)
     assert stats["admit_rate"] < 0.30, stats  # the prune measurably pays
+
+
+def test_xxh64_numpy_kernels_match_spark(spark):
+    """r14: the numpy XXH64 kernels behind xxhash_banded_rows_fast must
+    reproduce F.xxhash64 bit-for-bit on longs, on (long, int) chains (the
+    per-permutation re-hash), and on 4-long chains (the band fold) —
+    random draws across the full int64 range plus the boundary values."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    vals = np.concatenate(
+        [
+            rng.integers(-(2**63), 2**63 - 1, size=300, dtype=np.int64),
+            np.array(
+                [0, 1, -1, 2**63 - 1, -(2**63), 42, -42], dtype=np.int64
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(int(v), int(i % 32)) for i, v in enumerate(vals)], "h long, i int"
+    )
+    got = df.select(
+        F.xxhash64("h").alias("g1"),
+        F.xxhash64("h", "i").alias("g2"),
+        F.xxhash64("h", "h", "h", "h").alias("g3"),
+    ).collect()
+    u = vals.view(np.uint64)
+    ii = np.array([i % 32 for i in range(len(vals))], dtype=np.int64).view(
+        np.uint64
+    )
+    base = D._xxh64_long(u, D._XXH64_SEED)
+    e1 = base.view(np.int64)
+    e2 = D._xxh64_int(ii, base).view(np.int64)
+    h = D._XXH64_SEED
+    for _ in range(4):
+        h = D._xxh64_long(u, h)
+    e3 = h.view(np.int64)
+    assert (np.array([r["g1"] for r in got]) == e1).all()
+    assert (np.array([r["g2"] for r in got]) == e2).all()
+    assert (np.array([r["g3"] for r in got]) == e3).all()
+
+
+def test_xxhash_fast_signer_parity(spark):
+    """xxhash_banded_rows_fast (numpy twin) must emit BIT-IDENTICAL
+    (__id, band, band_hash) rows to the signature-expression +
+    banded_rows plan, on fixture text and adversarial strings — the
+    same parity contract the portable family's fast signer carries."""
+    from crawling_vectordb_llm_spark.operators.incremental_dedup import (
+        xxhash_banded_rows,
+    )
+
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    adv = spark.createDataFrame(
+        [
+            (0, "a  b c d"),
+            (1, "  x y z  "),
+            (2, "héllo wörld tëst ünïcode"),
+            (3, "😀 emoji 😀 test here"),
+            (4, "one two"),
+            (5, ""),
+            (6, None),
+            (7, " " * 10),
+            (8, "ab " * 50),
+        ],
+        "doc_id long, text string",
+    )
+    for df in (docs, adv):
+        sh = df.select(
+            F.col("doc_id"), D.word_shingles("text", 3).alias("sh")
+        ).where(F.size("sh") > 0)
+        hashed = sh.select(
+            "doc_id",
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("hashes"),
+        )
+        a = (
+            D.xxhash_banded_rows_fast(hashed)
+            .toPandas()
+            .sort_values(["__id", "band"])
+            .reset_index(drop=True)
+        )
+        b = (
+            xxhash_banded_rows(df)
+            .toPandas()
+            .sort_values(["__id", "band"])
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+
+def test_minhash_near_dup_pairs_matches_expression_form(spark):
+    """End-to-end r14 guard: minhash_near_dup_pairs (numpy-signed) must
+    return exactly the rows of the expression-form pipeline it replaced
+    (signatures -> lsh_candidate_pairs -> exact-Jaccard verify)."""
+    docs = _docs_with_planted_dups(spark)
+    got = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in D.minhash_near_dup_pairs(docs, tau=0.2).collect()
+    }
+    sh = docs.select(
+        F.col("doc_id"), D.word_shingles("text", 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    cands = D.lsh_candidate_pairs(D.minhash_signatures(docs), "doc_id")
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    expect = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            D.ngram_jaccard(F.col("a_sh"), F.col("b_sh")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.2)
+        .collect()
+    }
+    assert got == expect
+    assert got  # non-vacuous: planted dups must appear
