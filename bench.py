@@ -204,7 +204,6 @@ def main() -> None:
         },
         "streaming": streaming,
     }
-    print(json.dumps(payload))
     # the driver keeps only the last 2000 chars of stdout, which truncates
     # the metric/value header and the first timings of BENCH_r{N}.json
     # (VERDICT r5 #2) — also write the COMPLETE artifact next to the repo's
@@ -221,6 +220,20 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass  # read-only checkout must not sink the bench
+    # the one-line JSON is the FINAL act of the bench — nothing may print
+    # after it, so any tail capture of stdout always ends with a parseable
+    # line (VERDICT r13 #8: round 12's driver tail cut off before the
+    # headline line and the round lost its official comparison).  Pinned
+    # by tests/test_bench_contract.py against emit_headline_line.
+    emit_headline_line(payload)
+
+
+def emit_headline_line(payload: dict) -> None:
+    """Print the bench's ONE-line JSON contract to stdout, flushed —
+    guaranteed single line (no embedded newlines), emitted last."""
+    line = json.dumps(payload)
+    assert "\n" not in line
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

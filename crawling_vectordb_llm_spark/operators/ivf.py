@@ -323,7 +323,11 @@ def _plan_cell_grid(
 
 
 def bounded_random_sample(
-    df: DataFrame, cols: list[str], sample_limit: int, seed: int
+    df: DataFrame,
+    cols: list[str],
+    sample_limit: int,
+    seed: int,
+    n_out: "dict | None" = None,
 ) -> list:
     """Collect a seeded RANDOM sample of up to sample_limit rows — the
     shared trainer-sampling primitive for every codebook/centroid fit.
@@ -357,10 +361,19 @@ def bounded_random_sample(
         )
         return rows
 
+    # r14 (guide §1/§5): the probe LEARNS the exact row count whenever the
+    # whole relation fits under the cap (len(rows) IS n then), and the
+    # over-cap branch counts anyway — expose it through n_out so callers
+    # that need n for sizing (pq_knn_rerank's adaptive shortlist) don't
+    # pay a separate count job for a number this call already knows.
     rows = df.select(*cols).limit(sample_limit + 1).collect()
     if len(rows) <= sample_limit:
+        if n_out is not None:
+            n_out["n"] = len(rows)
         return _pinned(rows)
     n = df.count()
+    if n_out is not None:
+        n_out["n"] = n
     fraction = min(1.0, 1.2 * sample_limit / n)
     sampled = df.select(*cols).sample(fraction=fraction, seed=seed).collect()
     if len(sampled) <= sample_limit:

@@ -93,8 +93,11 @@ def pq_train(
     seed: int = 42,
     max_iter: int = 15,
     sample_limit: int = 200_000,
+    n_out: "dict | None" = None,
 ) -> np.ndarray:
     """Fit per-subspace codebooks; returns (m, n_codes, dim/m) float64.
+    n_out (optional dict) receives the corpus row count the sampling pass
+    learns for free (bounded_random_sample r14).
 
     Vectors are L2-normalized BEFORE splitting (cosine = dot of normalized
     vectors, TencentVDB.py:46 COSINE), so the PQ approximation targets the
@@ -109,7 +112,9 @@ def pq_train(
     # (FAISS practice); above the cap the trainer cost would grow with
     # the corpus for zero codebook benefit (r6 slope fits).
     sample_limit = min(sample_limit, max(20_000, 1_024 * n_codes))
-    rows = bounded_random_sample(corpus, [vec_col], sample_limit, seed)
+    rows = bounded_random_sample(
+        corpus, [vec_col], sample_limit, seed, n_out=n_out
+    )
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     dim = x.shape[1]
     # m_subvectors=None (r12, ADVICE r11): flat PQ tracks dimension the
@@ -458,16 +463,23 @@ def pq_knn_rerank(
     # codebooks have a far worse fraction (~55% at 16 codes) and
     # callers must size the shortlist themselves (re-margining history
     # in vector_suite.q_pq_knn_rerank).
+    # r14 (guide §1/§5): the corpus row count for the adaptive shortlist
+    # rides the trainer's sampling pass (bounded_random_sample learns n
+    # either way — see its n_out contract) instead of a separate count()
+    # job per query; same n, same shortlist, one less action.
+    nstat: dict = {}
+    books = pq_train(
+        corpus, m_subvectors, n_codes, corpus_vec, seed=seed, n_out=nstat
+    )
     if shortlist is None:
         if n_codes >= 64:
             from crawling_vectordb_llm_spark.operators.topk import (
                 adaptive_shortlist,
             )
 
-            shortlist = adaptive_shortlist(corpus.count(), floor=256, k=k)
+            shortlist = adaptive_shortlist(nstat["n"], floor=256, k=k)
         else:
             shortlist = max(128, 4 * k)
-    books = pq_train(corpus, m_subvectors, n_codes, corpus_vec, seed=seed)
     encoded = pq_encode(corpus, books, corpus_id, corpus_vec)
     cands = pq_adc_shortlist(
         queries, encoded, books, shortlist, query_id, query_vec, corpus_id

@@ -69,11 +69,10 @@ def global_topk_ranked(
 # not a silent OOM; lower it per-call for wide vectors).
 DEFAULT_MAX_QUERY_ROWS = 1_000_000
 
-# collect_query_rows bounds above this get an id-only count probe before
-# the vector-carrying collect (ADVICE r6): 100k x 1024-dim float64 Rows
-# is ~1 GB — the largest collect the guard should ever let materialize
-# just to discover it must raise.
-_PRECOUNT_THRESHOLD = 100_000
+# (r14: the r6 id-only pre-count probe for large bounds is gone — the
+# collect is Arrow-columnar now, so the oversize-error path materializes
+# bounded buffers instead of boxed Rows and the common path stays one job;
+# see collect_query_rows docstring.)
 
 
 def collect_query_rows(
@@ -94,26 +93,23 @@ def collect_query_rows(
     never order-sensitive state).  Mirror of _threshold_join_broadcast's
     guard (knn.py:399).
 
-    Large bounds get a cheap pre-count (ADVICE r6): at the 1M default
-    with wide vectors, materializing max_rows+1 full Rows to PRODUCE the
-    error is itself multiple GB of driver Row objects — the guard could
-    OOM before raising.  So above _PRECOUNT_THRESHOLD rows the id column
-    alone is counted first (column-pruned scan, no vectors), and the
-    oversize error fires before any vector ever reaches the driver.
-    Small bounds skip the probe so fixture-scale ANN queries stay
-    one-job.
+    r14 (guide §1/§5): ONE Arrow collect for every bound.  The r6 shape
+    additionally pre-counted the id column for bounds above 100k rows so
+    that an oversized relation could not OOM the driver with boxed Row
+    objects while PRODUCING the error — but that guard job ran on the
+    COMMON path too, charging every ANN operator's construct one extra
+    job per query (the contract-abiding case is ~10 rows).  The Arrow
+    path removes the hazard the pre-count existed for: an oversized
+    relation materializes at most max_rows+1 rows as columnar buffers
+    (~0.5 GB at the 1M default with 64-d doubles, transient, freed on
+    raise) instead of multiple GB of Row objects, so the error still
+    fires safely after one bounded transfer and the common path pays
+    exactly one job.  Values are bit-identical to the Row path (Arrow
+    widens float->double exactly as Row boxing did); callers consume
+    (id, vector) tuples positionally.
     """
-    if max_rows > _PRECOUNT_THRESHOLD:
-        if df.select(id_col).limit(max_rows + 1).count() > max_rows:
-            raise ValueError(
-                f"{caller}: query side exceeds max_query_rows={max_rows}; "
-                "the query relation is broadcast to every task and must "
-                "stay small — pre-aggregate, batch the queries, or use a "
-                "distributed similarity join (knn.threshold_join "
-                "strategy='blocked') instead"
-            )
-    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
+    pdf = df.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
             f"{caller}: query side exceeds max_query_rows={max_rows}; "
             "the query relation is broadcast to every task and must stay "
@@ -121,7 +117,7 @@ def collect_query_rows(
             "distributed similarity join (knn.threshold_join "
             "strategy='blocked') instead"
         )
-    return rows
+    return list(zip(pdf[id_col].tolist(), pdf[vec_col].tolist()))
 
 
 def adaptive_shortlist(

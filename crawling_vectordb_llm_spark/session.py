@@ -40,17 +40,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # r13 (guide §3.1): let the planner pick shuffled-hash over
-        # sort-merge when its size conditions hold — skips both sort
-        # passes; the full-outer diff/PSI joins and the banded interval
-        # self-join measured 4-26% faster interleaved, none slower.  The
-        # AQE local-map threshold additionally rewrites SMJ->SHJ at
-        # runtime when every post-shuffle partition is under 64 MB —
-        # bounded by per-task memory, so safe at any cluster scale (a
-        # 100 TB shuffle with healthy 100 MB-1 GB partitions simply never
-        # triggers it).  Results are strategy-independent by definition;
-        # full 215-query DuckDB selfcheck re-run green under these confs.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # r13/r14 (guide §3.1, ADVICE r13): shuffled-hash joins come from
+        # the AQE local-map threshold ONLY — SMJ is rewritten to SHJ at
+        # runtime when every post-shuffle partition is under 64 MB, a
+        # bound on REAL sizes, so a hash build can never OOM off a bad
+        # Catalyst estimate and a healthy 100 TB shuffle (100 MB-1 GB
+        # partitions) keeps spill-graceful sort-merge.  r13 additionally
+        # flipped the STATIC planner (preferSortMergeJoin=false), which
+        # picks the SHJ build side from size ESTIMATES that can be badly
+        # wrong after filters/UDFs; r14 re-measured that flip interleaved
+        # on the six join-heavy headline queries and found it performance-
+        # neutral at bench scale (every median within +-6%, mixed sign —
+        # the AQE rewrite already converts the same joins at runtime), so
+        # the estimate-trusting static path is dropped and only the
+        # runtime-bounded rewrite stays.  Results are strategy-independent
+        # by definition; full 215-query DuckDB selfcheck green under this.
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         # auto-broadcast stays on (10 MB); we additionally hint explicitly
         # in operators where we KNOW the side is small (dims, query sets).

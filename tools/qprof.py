@@ -61,7 +61,10 @@ def profile(spark, name: str, sf_dir: str, reps: int) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # r14 (ADVICE r13): single-pass parse so option VALUES never leak into
+    # the query-name list (`qprof.py foo --reps 3` used to also "profile"
+    # the name "3" and crash on the QUERIES lookup)
+    args: list[str] = []
     reps = 5
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     it = iter(sys.argv[1:])
@@ -70,6 +73,10 @@ def main() -> None:
             reps = int(next(it))
         elif a == "--sf":
             sf_dir = next(it)
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown option {a}")
+        else:
+            args.append(a)
     spark = get_spark("qprof")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for name in args:
