@@ -477,6 +477,7 @@ def kmeans_centroids(
     seed: int = 42,
     max_iter: int = 15,
     sample_limit: int = 200_000,
+    sample_out: "dict | None" = None,
 ) -> np.ndarray:
     """Centroid fit on a bounded sample — standard IVF practice at any
     scale (FAISS trains on ~max(10k, 50*k) points): one distributed pass
@@ -495,7 +496,20 @@ def kmeans_centroids(
     with n for zero recall benefit (r6 slope fits; recall gates
     re-verified at all scales after the cap)."""
     sample_limit = min(sample_limit, max(10_000, 256 * n_centroids))
-    rows = bounded_random_sample(corpus, [vec_col], sample_limit, seed)
+    # r14 (VERDICT r13 #5): expose the collected sample + the corpus count
+    # the probe learned (sample_out = {rows, n, cap}) so a consumer whose
+    # OWN bounded sample would provably be the identical row list — i.e.
+    # when this sample already holds the ENTIRE corpus and the consumer's
+    # cap also covers it (ivfpq_topk's residual-codebook sample) — can
+    # reuse it instead of paying a second collect.  Reuse is gated on
+    # bit-identity, never on "close enough": above either cap the
+    # consumer samples exactly as before.
+    nstat: dict = {}
+    rows = bounded_random_sample(
+        corpus, [vec_col], sample_limit, seed, n_out=nstat
+    )
+    if sample_out is not None:
+        sample_out.update(rows=rows, n=nstat["n"], cap=sample_limit)
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     rng = np.random.default_rng(seed)
     cents = _kmeanspp_init(x, min(n_centroids, len(x)), rng)

