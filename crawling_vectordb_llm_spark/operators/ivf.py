@@ -1026,7 +1026,9 @@ def _ivf_pruned_replicated(
         # eager distributed radius pass (one full mapInPandas
         # materialization per join).  Above the sample cap the
         # distributed radius pass runs unchanged.
-        eff_limit = min(max(10_000, 64 * k), max(10_000, 256 * k))
+        # r14 (VERDICT r13 #4): was min(max(10_000, 64*k), max(10_000,
+        # 256*k)) — the first operand always wins, so write it plainly
+        eff_limit = max(10_000, 64 * k)
         rows_s = bounded_random_sample(corpus, [vec_col], eff_limit, seed)
         fit_x = _normalize(np.array([r[0] for r in rows_s], dtype=np.float64))
         rng = np.random.default_rng(seed)
