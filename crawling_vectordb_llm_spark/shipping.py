@@ -140,3 +140,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
     Both are runtime-settable SQL confs (verified)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # r14: the bounded driver transfers (connected_components' mode probe,
+    # collect_query_rows) go through toPandas and are sized assuming the
+    # Arrow path (columnar buffers, no Row boxing — guide §6).  Arrow
+    # toPandas is a behavior-identical fast path for the long/array
+    # columns those probes move, but it is OFF by default in a bare
+    # session — heal it like the confs above so a driver-built session
+    # doesn't silently fall back to boxed-Row transfers.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
